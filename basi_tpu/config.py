@@ -1,0 +1,199 @@
+"""Config/flag system (SURVEY.md §5.6).
+
+The reference uses an in-file ``Config`` class per script, edited by hand
+(SURVEY.md §2.2). Here: one frozen dataclass tree plus named presets mirroring
+the five driver benchmark configs (BASELINE.md), with dotted-path CLI overrides
+(``--set train.batch_size=8``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: str = "resnet50"  # resnet50 | vgg16
+    fpn_channels: int = 256
+    mask_channels: int = 64  # unified mask-feature embedding dim E
+    grid_size: int = 16  # SxS instance cell grid (per level group)
+    num_slots: int = 20  # fixed instance capacity K after NMS
+    image_size: int = 512  # square input resolution (SURVEY §2.2)
+    saliency_levels: int = 4  # deep-supervision outputs P2..P5
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | ilso | soc | folder
+    root: str = ""
+    split: str = "train"
+    batch_size: int = 16
+    image_size: int = 512
+    max_instances: int = 8  # GT instance slots per image (padded)
+    # ImageNet statistics (reference normalizes with these; SURVEY §2.5)
+    mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    hflip_prob: float = 0.5
+    scale_range: tuple[float, float] = (0.75, 1.25)
+    multiscale: bool = False
+    prefetch_depth: int = 2  # double buffering
+    decode_backend: str = "auto"  # auto | native | pil | synthetic
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 1
+    steps_per_epoch: int = 32  # used when dataset is synthetic
+    lr: float = 1e-2
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    poly_power: float = 0.9  # lr * (1 - iter/max_iter)^0.9 (SURVEY §2.11)
+    warmup_steps: int = 0
+    loss: str = "bce_dice"  # bce_dice | basnet_hybrid (BCE+SSIM+IoU)
+    score_loss_weight: float = 1.0
+    mask_loss_weight: float = 3.0
+    saliency_loss_weight: float = 1.0
+    grad_clip_norm: float = 0.0  # 0 disables
+    seed: int = 0
+    checkpoint_dir: str = "./ckpt"
+    checkpoint_every_steps: int = 0  # 0 -> per epoch
+    keep_checkpoints: int = 3
+    resume: str = "auto"  # auto | none | <path>
+    remat: bool = False  # jax.checkpoint the backbone to save HBM
+    log_every: int = 10
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 -> all available
+    spatial_axis: str = ""  # optional H-dim sharding axis name ("" = off)
+    spatial_shards: int = 1
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    batch_size: int = 8
+    score_threshold: float = 0.1
+    mask_threshold: float = 0.5
+    nms: str = "matrix"  # matrix | greedy
+    nms_sigma: float = 2.0
+    nms_iou_threshold: float = 0.5
+    pre_nms_top_k: int = 64
+    output_dir: str = "./out"
+    save_png: bool = False
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+    profile: bool = False
+    profile_dir: str = "./profile"
+    metrics_path: str = ""  # "" -> stdout only; else JSONL file
+
+
+def _replace_path(cfg: Any, dotted: str, value: str) -> Any:
+    """Immutable update of ``cfg`` at a dotted path with a parsed value."""
+    head, _, rest = dotted.partition(".")
+    if not hasattr(cfg, head):
+        raise KeyError(f"no config field {head!r} on {type(cfg).__name__}")
+    cur = getattr(cfg, head)
+    if rest:
+        new = _replace_path(cur, rest, value)
+    else:
+        new = _parse_like(cur, value)
+    return dataclasses.replace(cfg, **{head: new})
+
+
+def _parse_like(template: Any, value: str) -> Any:
+    if isinstance(template, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(template, int):
+        return int(value)
+    if isinstance(template, float):
+        return float(value)
+    if isinstance(template, tuple):
+        parts = [p for p in value.replace("(", "").replace(")", "").split(",") if p]
+        elem = template[0] if template else 0.0
+        return tuple(_parse_like(elem, p.strip()) for p in parts)
+    return value
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``key.path=value`` overrides to a Config."""
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        if not _ or not key:
+            raise ValueError(f"override must be key.path=value, got {ov!r}")
+        cfg = _replace_path(cfg, key.strip(), val.strip())
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Presets: the five driver benchmark configs (BASELINE.md / SURVEY §5.6).
+# ---------------------------------------------------------------------------
+
+def _preset_pr1_cpu_infer() -> Config:
+    """Single 512x512 image: backbone forward + mask head, CPU/1-chip infer."""
+    return Config(
+        data=DataConfig(batch_size=1, dataset="synthetic"),
+        infer=InferConfig(batch_size=1, dtype="float32"),
+    )
+
+
+def _preset_val_ap() -> Config:
+    """Batch-8 inference over ILSO/SOC val split, AP parity check."""
+    return Config(
+        data=DataConfig(batch_size=8, dataset="ilso", split="val"),
+        infer=InferConfig(batch_size=8),
+    )
+
+
+def _preset_train_ilso_1ep() -> Config:
+    """Full train loop: batch 16, 1 epoch ILSO, BCE/Dice."""
+    return Config(
+        data=DataConfig(batch_size=16, dataset="ilso"),
+        train=TrainConfig(epochs=1, loss="bce_dice"),
+    )
+
+
+def _preset_train_multiscale_fused() -> Config:
+    """Multi-scale train with on-device fused aug + device-side NMS/paste."""
+    return Config(
+        data=DataConfig(batch_size=16, dataset="ilso", multiscale=True),
+        train=TrainConfig(epochs=1),
+    )
+
+
+def _preset_train_v4_32_dp() -> Config:
+    """Data-parallel multi-host training with overlapped host decode."""
+    return Config(
+        data=DataConfig(batch_size=16, dataset="ilso"),
+        train=TrainConfig(epochs=30),
+        parallel=ParallelConfig(num_devices=0),
+    )
+
+
+PRESETS = {
+    "pr1_cpu_infer": _preset_pr1_cpu_infer,
+    "val_v4-8_ap": _preset_val_ap,
+    "train_ilso_1ep": _preset_train_ilso_1ep,
+    "train_multiscale_fused": _preset_train_multiscale_fused,
+    "train_v4-32_dp": _preset_train_v4_32_dp,
+}
+
+
+def get_config(preset: str = "", overrides: list[str] | None = None) -> Config:
+    cfg = PRESETS[preset]() if preset else Config()
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg

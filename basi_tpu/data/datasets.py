@@ -1,0 +1,197 @@
+"""Datasets: ILSO / SOC instance-mask layouts, folder datasets, synthetic.
+
+The reference loads an image plus per-instance GT masks per sample (SURVEY
+§2.3/2.4 — ILSO: 1k images, SOC: instance-annotated subset). Host-side we
+only *index and decode*; all augmentation is on-device. Samples are
+letterboxed (aspect-preserving resize + top-left zero pad) to the square
+model size on the host in uint8.
+
+Supported on-disk conventions (auto-detected):
+  * labeled PNG: ``masks/<stem>.png`` where pixel value k>0 = instance k
+  * per-instance PNGs: ``masks/<stem>/<k>.png`` binary masks
+  * synthetic: procedurally generated blob scenes (no files needed) — used
+    by the smoke-train and AP-harness tests.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+
+@dataclass
+class Sample:
+    image: np.ndarray  # (H, W, 3) uint8, letterboxed to model size
+    masks: np.ndarray  # (M, H, W) uint8 0/1, letterboxed, padded to M slots
+    valid: np.ndarray  # (M,) uint8
+    orig_hw: np.ndarray  # (2,) int32 original image size
+    valid_hw: np.ndarray  # (2,) int32 content size inside the letterbox
+    name: str = ""
+
+
+def letterbox_params(orig_h: int, orig_w: int, size: int) -> tuple[int, int]:
+    """Content size after aspect-preserving resize into a size x size box."""
+    scale = size / max(orig_h, orig_w)
+    return max(1, round(orig_h * scale)), max(1, round(orig_w * scale))
+
+
+class SyntheticDataset:
+    """Procedural blob scenes with per-instance masks.
+
+    Deterministic per (seed, index); no files, no decode — exercises the
+    full train/eval path (SURVEY §4 item 3).
+    """
+
+    def __init__(self, n: int = 256, image_size: int = 512,
+                 max_instances: int = 8, seed: int = 0):
+        self.n = n
+        self.size = image_size
+        self.max_instances = max_instances
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def get(self, i: int) -> Sample:
+        rng = np.random.RandomState((self.seed * 1_000_003 + i) % (2 ** 31))
+        s = self.size
+        img = (rng.rand(s, s, 3) * 60 + 40).astype(np.uint8)  # noisy bg
+        k = rng.randint(1, self.max_instances + 1)
+        masks = np.zeros((self.max_instances, s, s), np.uint8)
+        yy, xx = np.mgrid[0:s, 0:s]
+        for m in range(k):
+            cy, cx = rng.randint(s // 8, 7 * s // 8, size=2)
+            ry = rng.randint(s // 16, s // 5)
+            rx = rng.randint(s // 16, s // 5)
+            ang = rng.rand() * np.pi
+            ca, sa = np.cos(ang), np.sin(ang)
+            u = (xx - cx) * ca + (yy - cy) * sa
+            v = -(xx - cx) * sa + (yy - cy) * ca
+            ell = (u / rx) ** 2 + (v / ry) ** 2 <= 1.0
+            # Later instances occlude earlier ones (realistic instance GT).
+            for prev in range(m):
+                masks[prev][ell] = 0
+            masks[m] = ell.astype(np.uint8)
+            color = rng.randint(100, 255, size=3)
+            img[ell] = (0.7 * color + 0.3 * img[ell]).astype(np.uint8)
+        valid = np.array(
+            [1 if masks[m].sum() > 16 else 0 for m in range(self.max_instances)],
+            np.uint8,
+        )
+        hw = np.array([s, s], np.int32)
+        return Sample(img, masks, valid, hw, hw, name=f"synthetic_{i}")
+
+
+class FolderDataset:
+    """ILSO/SOC-style folder dataset: images + instance masks on disk.
+
+    root/
+      images/*.jpg|png
+      masks/<stem>.png            (labeled: pixel value = instance id)   OR
+      masks/<stem>/*.png          (one binary PNG per instance)
+    """
+
+    IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+    def __init__(self, root: str, image_size: int = 512,
+                 max_instances: int = 8, split: str = "",
+                 decode_backend: str = "auto"):
+        self.root = root
+        self.size = image_size
+        self.max_instances = max_instances
+        img_dir = os.path.join(root, "images")
+        if split and os.path.isdir(os.path.join(root, split, "images")):
+            img_dir = os.path.join(root, split, "images")
+            root = os.path.join(root, split)
+        self.img_dir = img_dir
+        self.mask_dir = os.path.join(root, "masks")
+        if not os.path.isdir(img_dir):
+            raise FileNotFoundError(f"no images dir under {root}")
+        self.names = sorted(
+            f for f in os.listdir(img_dir)
+            if f.lower().endswith(self.IMG_EXTS)
+        )
+        from basi_tpu.data.native import get_decoder
+        self.decoder = get_decoder(decode_backend)
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def get(self, i: int) -> Sample:
+        name = self.names[i]
+        stem = os.path.splitext(name)[0]
+        img, (oh, ow) = self.decoder.decode_letterbox(
+            os.path.join(self.img_dir, name), self.size
+        )
+        vh, vw = letterbox_params(oh, ow, self.size)
+
+        masks = np.zeros((self.max_instances, self.size, self.size), np.uint8)
+        count = 0
+        labeled = os.path.join(self.mask_dir, stem + ".png")
+        per_dir = os.path.join(self.mask_dir, stem)
+        if os.path.isfile(labeled):
+            lab, _ = self.decoder.decode_letterbox(labeled, self.size, nearest=True)
+            lab = lab[..., 0] if lab.ndim == 3 else lab
+            ids = [v for v in np.unique(lab) if v > 0]
+            for v in ids[: self.max_instances]:
+                masks[count] = (lab == v).astype(np.uint8)
+                count += 1
+        elif os.path.isdir(per_dir):
+            for f in sorted(os.listdir(per_dir))[: self.max_instances]:
+                m, _ = self.decoder.decode_letterbox(
+                    os.path.join(per_dir, f), self.size, nearest=True
+                )
+                m = m[..., 0] if m.ndim == 3 else m
+                masks[count] = (m > 127).astype(np.uint8)
+                count += 1
+        valid = np.zeros((self.max_instances,), np.uint8)
+        valid[:count] = 1
+        return Sample(
+            img, masks, valid,
+            np.array([oh, ow], np.int32),
+            np.array([vh, vw], np.int32),
+            name=stem,
+        )
+
+
+def make_dataset(cfg_data, split: str | None = None):
+    split = cfg_data.split if split is None else split
+    if cfg_data.dataset == "synthetic":
+        n = 256 if split == "train" else 64
+        return SyntheticDataset(
+            n=n, image_size=cfg_data.image_size,
+            max_instances=cfg_data.max_instances,
+            seed=0 if split == "train" else 1,
+        )
+    if cfg_data.dataset in ("ilso", "soc", "folder"):
+        root = cfg_data.root or os.path.join("data", cfg_data.dataset)
+        return FolderDataset(
+            root, image_size=cfg_data.image_size,
+            max_instances=cfg_data.max_instances, split=split,
+            decode_backend=cfg_data.decode_backend,
+        )
+    raise ValueError(f"unknown dataset {cfg_data.dataset!r}")
+
+
+def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
+               drop_last: bool = True) -> Iterator[dict[str, np.ndarray]]:
+    """Host-side batch assembly (decode is delegated to the dataset)."""
+    idx = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    end = len(idx) - (len(idx) % batch_size if drop_last else 0)
+    for start in range(0, end, batch_size):
+        chunk = idx[start:start + batch_size]
+        if len(chunk) < batch_size and not drop_last:
+            chunk = np.concatenate([chunk, chunk[: batch_size - len(chunk)]])
+        samples = [dataset.get(int(i)) for i in chunk]
+        yield {
+            "image": np.stack([s.image for s in samples]),
+            "masks": np.stack([s.masks for s in samples]),
+            "valid": np.stack([s.valid for s in samples]),
+            "orig_hw": np.stack([s.orig_hw for s in samples]),
+            "valid_hw": np.stack([s.valid_hw for s in samples]),
+        }

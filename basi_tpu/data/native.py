@@ -1,0 +1,115 @@
+"""Image decode backends: native C++ (libjpeg+SIMD-ish) with PIL fallback.
+
+SURVEY §2.16: the reference leans on libjpeg-turbo via PIL inside DataLoader
+worker *processes*; our native path is a C++ shared library (built from
+``basi_tpu/data/_native/``) that decodes + bilinear-letterboxes JPEG/PNG
+into caller-owned uint8 buffers while releasing the GIL, so a host thread
+pool overlaps decode with TPU compute (no fork, no pickling).
+
+``get_decoder('auto')`` prefers the native library and silently falls back
+to PIL if the library isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libbasi_decode.so")
+
+_build_lock = threading.Lock()
+
+
+class PILDecoder:
+    """Fallback decoder using PIL (same letterbox semantics as native)."""
+
+    name = "pil"
+
+    def decode_letterbox(self, path: str, size: int, nearest: bool = False):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            if im.mode not in ("RGB", "L"):
+                im = im.convert("RGB")
+            ow, oh = im.size
+            from basi_tpu.data.datasets import letterbox_params
+            vh, vw = letterbox_params(oh, ow, size)
+            resample = Image.NEAREST if nearest else Image.BILINEAR
+            im = im.resize((vw, vh), resample)
+            arr = np.asarray(im)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        canvas = np.zeros((size, size, arr.shape[2]), np.uint8)
+        canvas[:vh, :vw] = arr
+        if canvas.shape[2] == 1:
+            canvas = np.repeat(canvas, 3, axis=2)
+        return canvas, (oh, ow)
+
+
+class NativeDecoder:
+    """ctypes binding to the C++ decode library."""
+
+    name = "native"
+
+    def __init__(self, lib_path: str = _LIB_PATH):
+        self.lib = ctypes.CDLL(lib_path)
+        self.lib.basi_decode_letterbox.restype = ctypes.c_int
+        self.lib.basi_decode_letterbox.argtypes = [
+            ctypes.c_char_p,  # path
+            ctypes.c_int,  # target size
+            ctypes.c_int,  # nearest flag
+            ctypes.POINTER(ctypes.c_ubyte),  # out buffer size*size*3
+            ctypes.POINTER(ctypes.c_int),  # out orig_h
+            ctypes.POINTER(ctypes.c_int),  # out orig_w
+        ]
+
+    def decode_letterbox(self, path: str, size: int, nearest: bool = False):
+        out = np.zeros((size, size, 3), np.uint8)
+        oh = ctypes.c_int(0)
+        ow = ctypes.c_int(0)
+        rc = self.lib.basi_decode_letterbox(
+            path.encode(), size, int(nearest),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.byref(oh), ctypes.byref(ow),
+        )
+        if rc != 0:
+            raise IOError(f"native decode failed ({rc}) for {path}")
+        return out, (oh.value, ow.value)
+
+
+def build_native(verbose: bool = False) -> str | None:
+    """Compile the native decoder if needed; returns lib path or None."""
+    with _build_lock:
+        src = os.path.join(_NATIVE_DIR, "decode.cc")
+        if not os.path.isfile(src):
+            return None
+        if os.path.isfile(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+            return _LIB_PATH
+        import subprocess
+
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            src, "-o", _LIB_PATH, "-ljpeg", "-lpng", "-lpthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=not verbose)
+            return _LIB_PATH
+        except Exception:
+            return None
+
+
+def get_decoder(backend: str = "auto"):
+    if backend in ("auto", "native"):
+        path = build_native()
+        if path:
+            try:
+                return NativeDecoder(path)
+            except OSError:
+                pass
+        if backend == "native":
+            raise RuntimeError("native decoder requested but unavailable")
+    return PILDecoder()

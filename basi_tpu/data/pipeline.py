@@ -1,0 +1,86 @@
+"""Overlapped host ingest -> double-buffered device feed (SURVEY §3.1).
+
+The reference's DataLoader worker *processes* become a host thread pool
+(the native decoder releases the GIL) plus a bounded queue of device-side
+batches: while the TPU runs step N, the host decodes N+1 and the transfer
+engine uploads it. Raw uint8 ships to the device; normalization and
+augmentation happen on-device in the jitted step (fused Pallas kernel).
+
+Determinism (SURVEY §5.2): batch order is a pure function of (seed, epoch);
+``debug_sync=True`` runs ingest single-threaded on the caller's thread to
+bisect nondeterminism.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from basi_tpu.data.datasets import iter_epoch
+
+
+class DeviceFeed:
+    """Background-thread prefetcher producing device-resident batches."""
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 seed: int = 0, sharding=None, depth: int = 2,
+                 drop_last: bool = True, debug_sync: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.sharding = sharding
+        self.depth = max(1, depth)
+        self.drop_last = drop_last
+        self.debug_sync = debug_sync
+
+    def _put_device(self, batch: dict[str, np.ndarray]):
+        if self.sharding is None:
+            return {k: jax.device_put(v) for k, v in batch.items()}
+        put = {}
+        for k, v in batch.items():
+            put[k] = jax.device_put(v, self.sharding(v))
+        return put
+
+    def epoch(self, epoch_idx: int) -> Iterator[dict]:
+        host_iter = iter_epoch(
+            self.dataset, self.batch_size, self.shuffle,
+            seed=self.seed + epoch_idx, drop_last=self.drop_last,
+        )
+        if self.debug_sync:
+            for hb in host_iter:
+                yield self._put_device(hb)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for hb in host_iter:
+                    # device_put is async; the transfer overlaps compute and
+                    # the bounded queue enforces the double-buffer depth.
+                    q.put(self._put_device(hb))
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+                return
+            q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)

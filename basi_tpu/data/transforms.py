@@ -1,0 +1,93 @@
+"""On-device joint augmentation (SURVEY §2.5): flip + scale jitter.
+
+The reference augments per-sample on the host in DataLoader workers. Here
+augmentation runs inside the jitted train step, driven by the step's PRNG
+key — deterministic, reproducible, and overlapped with compute:
+
+  * horizontal flip: ``lax.rev`` selected per image (the image path can use
+    the fused Pallas normalize+flip kernel; masks flip here in XLA).
+  * scale jitter ("zoom"): implemented as a *dynamic* separable bilinear
+    resample — per-image (out, in) interpolation weight matrices built from
+    traced scale/offset scalars, applied as two einsums. Static shapes, MXU
+    work instead of gathers; zoom-out pads with zeros, zoom-in crops at a
+    random offset, jointly for image and masks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dynamic_interp_matrix(out_size: int, in_size: int,
+                          scale: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """(out, in) bilinear sampling matrix for src = (i+0.5)*r + offset - 0.5.
+
+    ``r = in_size_covered / out_size`` is traced (per-image); coords outside
+    [0, in) get zero weight (zero padding). Built elementwise on the VPU as
+    a banded hat-function matrix: W[i, j] = max(0, 1 - |src_i - j|).
+    """
+    i = jnp.arange(out_size, dtype=jnp.float32)[:, None]
+    j = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    src = (i + 0.5) * scale + offset - 0.5
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - j))
+    # Zero out rows whose sample center is fully outside the source.
+    inside = (src > -1.0) & (src < in_size)
+    return w * inside
+
+
+def scale_jitter_one(image: jnp.ndarray, masks: jnp.ndarray,
+                     scale: jnp.ndarray, off_y: jnp.ndarray, off_x: jnp.ndarray):
+    """Zoom one image (H, W, C) + masks (M, H, W) by traced ``scale``.
+
+    scale > 1 zooms in (random crop of 1/scale of the image, resized back);
+    scale < 1 zooms out (image shrinks onto a zero-padded canvas).
+    off_y/off_x in [0, 1] choose the crop/placement position.
+    """
+    h, w, _ = image.shape
+    r = 1.0 / scale  # source pixels advanced per output pixel
+    # Max offset keeps the sampled window inside the source when zooming in;
+    # when zooming out it shifts the placement (negative source start).
+    max_off_y = h - r * h
+    max_off_x = w - r * w
+    oy = off_y * max_off_y
+    ox = off_x * max_off_x
+    wy = dynamic_interp_matrix(h, h, r, oy)
+    wx = dynamic_interp_matrix(w, w, r, ox)
+
+    prec = jax.lax.Precision.HIGHEST
+    img = jnp.einsum("oh,hwc->owc", wy, image.astype(jnp.float32), precision=prec)
+    img = jnp.einsum("pw,owc->opc", wx, img, precision=prec)
+
+    msk = jnp.einsum("oh,mhw->mow", wy, masks.astype(jnp.float32), precision=prec)
+    msk = jnp.einsum("pw,mow->mop", wx, msk, precision=prec)
+    msk = (msk > 0.5).astype(masks.dtype)
+    return img.astype(image.dtype), msk
+
+
+def random_augment(rng: jax.Array, images: jnp.ndarray, masks: jnp.ndarray,
+                   hflip_prob: float = 0.5,
+                   scale_range: tuple[float, float] = (0.75, 1.25),
+                   enable_scale: bool = True):
+    """Joint batched augmentation. images (N,H,W,C) float, masks (N,M,H,W).
+
+    Returns (aug_images, aug_masks, flip_flags). Flip is returned so callers
+    using the fused Pallas normalize+flip ingest kernel can apply the SAME
+    flip there and skip the image flip here (pass images=None semantics are
+    not supported; instead use ``flip_only=False`` paths).
+    """
+    n = images.shape[0]
+    k_flip, k_scale, k_oy, k_ox = jax.random.split(rng, 4)
+    flip = jax.random.bernoulli(k_flip, hflip_prob, (n,))
+
+    imgs = jnp.where(flip[:, None, None, None], jnp.flip(images, axis=2), images)
+    msks = jnp.where(flip[:, None, None, None], jnp.flip(masks, axis=3), masks)
+
+    if enable_scale:
+        scale = jax.random.uniform(
+            k_scale, (n,), minval=scale_range[0], maxval=scale_range[1]
+        )
+        off_y = jax.random.uniform(k_oy, (n,))
+        off_x = jax.random.uniform(k_ox, (n,))
+        imgs, msks = jax.vmap(scale_jitter_one)(imgs, msks, scale, off_y, off_x)
+    return imgs, msks, flip

@@ -1,0 +1,102 @@
+"""BASINet: the assembled salient-instance-segmentation flagship model.
+
+backbone (ResNet-50 / VGG16, SURVEY §2.6) -> FPN decoder (§2.7) ->
+{saliency branch, unified mask features, cell-grid instance head} (§2.8/2.9).
+
+Forward is a pure function of (params, batch_stats, image) and is always
+called under jit; all output shapes are static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from basi_tpu.models.fpn import FPNDecoder
+from basi_tpu.models.heads import (
+    InstanceKernelHead,
+    MaskFeatureHead,
+    SaliencyHead,
+    candidate_masks,
+)
+from basi_tpu.models.resnet import ResNet50
+from basi_tpu.models.vgg import VGG16
+
+
+class BASIOutputs(NamedTuple):
+    """Raw model outputs (all logits, NHWC / cell-major, static shapes)."""
+
+    saliency_logits: jnp.ndarray  # (N, H/4, W/4, 1) fused saliency
+    saliency_aux: tuple[jnp.ndarray, ...]  # per-level deep supervision at /4
+    cell_scores: jnp.ndarray  # (N, S, S, 1) objectness logits
+    cell_kernels: jnp.ndarray  # (N, S, S, E) dynamic mask kernels
+    mask_feats: jnp.ndarray  # (N, H/4, W/4, E) unified mask features
+    mask_logits: jnp.ndarray  # (N, S*S, H/4, W/4) candidate masks
+
+
+class BASINet(nn.Module):
+    backbone: str = "resnet50"
+    fpn_channels: int = 256
+    mask_channels: int = 64
+    grid_size: int = 16
+    remat: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, train: bool = False) -> BASIOutputs:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.backbone == "resnet50":
+            trunk_cls = ResNet50
+        elif self.backbone == "vgg16":
+            trunk_cls = VGG16
+        else:
+            raise ValueError(f"unknown backbone {self.backbone!r}")
+        if self.remat:
+            trunk_cls = nn.remat(trunk_cls, static_argnums=(2,))
+        feats = trunk_cls(name="backbone", **kw)(image, train)
+
+        pyramid = FPNDecoder(self.fpn_channels, name="fpn", **kw)(feats)
+
+        sal_logits, sal_aux = SaliencyHead(name="saliency", **kw)(pyramid)
+        mask_feats = MaskFeatureHead(
+            embed_dim=self.mask_channels, name="maskfeat", **kw
+        )(pyramid)
+        cell_scores, cell_kernels = InstanceKernelHead(
+            grid_size=self.grid_size, embed_dim=self.mask_channels,
+            name="instance", **kw,
+        )(pyramid[1])  # P3 (stride 8) — mid-level context for cell scoring
+
+        mask_logits = candidate_masks(mask_feats, cell_kernels)
+        return BASIOutputs(
+            saliency_logits=sal_logits,
+            saliency_aux=tuple(sal_aux),
+            cell_scores=cell_scores,
+            cell_kernels=cell_kernels,
+            mask_feats=mask_feats,
+            mask_logits=mask_logits,
+        )
+
+
+def create_model(cfg) -> BASINet:
+    """Build a BASINet from a ModelConfig."""
+    return BASINet(
+        backbone=cfg.backbone,
+        fpn_channels=cfg.fpn_channels,
+        mask_channels=cfg.mask_channels,
+        grid_size=cfg.grid_size,
+        remat=getattr(cfg, "remat", False),
+        dtype=jnp.dtype(cfg.dtype),
+        param_dtype=jnp.dtype(cfg.param_dtype),
+    )
+
+
+def init_model(model: BASINet, image_size: int, seed: int = 0):
+    """Initialize variables with a dummy batch; returns (params, batch_stats)."""
+    rng = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((1, image_size, image_size, 3), model.dtype)
+    variables = model.init(rng, dummy, train=False)
+    return variables["params"], variables.get("batch_stats", {})

@@ -1,0 +1,156 @@
+"""BASI heads: saliency branch, unified mask features, instance mechanism.
+
+SURVEY.md §2.8 flags the reference's instance mechanism as the largest open
+question (the reference mount was empty; candidates were (a) saliency +
+embedding, (b) proposals + ROI head, (c) connected components). We therefore
+design the TPU-native mechanism from first principles and keep it behind this
+module's narrow interface so it can be swapped when the reference becomes
+readable:
+
+  * A **dynamic-kernel cell grid** (SOLO-flavoured): a fixed S x S grid of
+    cells; each cell predicts an objectness score and an E-dim dynamic 1x1
+    conv kernel over a unified mask-feature map. Candidate masks for ALL
+    cells are one einsum on the MXU — fully static shapes, no ROI gather, no
+    dynamic control flow. This subsumes candidate (a) (it *is* an embedding
+    clustering with learned cluster queries at fixed grid positions) and has
+    strictly better TPU characteristics than (b)/(c).
+
+  * A **boundary-aware saliency branch** (BASNet-flavoured, per the "BASI"
+    name): deeply-supervised per-level saliency logits plus a fused final
+    map; its union-saliency signal trains jointly with the instance branch.
+
+All shapes are static; instance capacity is the fixed-slot contract
+(SURVEY §7 hard part #2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from basi_tpu.ops.resize import resize_bilinear
+
+
+def coord_features(n: int, h: int, w: int, dtype: Any) -> jnp.ndarray:
+    """Normalized (-1..1) x/y coordinate maps, (N, H, W, 2) — CoordConv."""
+    ys = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)
+    xs = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)
+    yy = jnp.broadcast_to(ys[:, None], (h, w))
+    xx = jnp.broadcast_to(xs[None, :], (h, w))
+    grid = jnp.stack([xx, yy], axis=-1)[None]
+    return jnp.broadcast_to(grid, (n, h, w, 2)).astype(dtype)
+
+
+class SaliencyHead(nn.Module):
+    """Deeply-supervised saliency branch over FPN levels.
+
+    Per level: 3x3 conv -> 1-channel logits (supervised at that level's
+    resolution, all reported at /4). Final: concat upsampled per-level
+    features -> 3x3 conv -> fused logits at /4.
+    """
+
+    channels: int = 64
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pyramid: Sequence[jnp.ndarray]) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        base_hw = pyramid[0].shape[1:3]  # /4 resolution
+        level_logits = []
+        fused_feats = []
+        for i, p in enumerate(pyramid):
+            f = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        name=f"tower{i}", **kw)(p)
+            f = nn.relu(f)
+            logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                             name=f"out{i}", **kw)(f)
+            level_logits.append(resize_bilinear(logits, base_hw))
+            fused_feats.append(resize_bilinear(f, base_hw))
+        fused = jnp.concatenate(fused_feats, axis=-1)
+        fused_logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                               name="fuse", **kw)(fused)
+        return fused_logits, level_logits
+
+
+class MaskFeatureHead(nn.Module):
+    """Unified mask-feature map at /4 with E channels.
+
+    Each pyramid level: 3x3 conv + GroupNorm + ReLU, bilinear-resized to /4,
+    summed; CoordConv features are appended at the coarsest level so masks
+    can be position-sensitive. Final 1x1 conv -> E channels.
+    """
+
+    channels: int = 128
+    embed_dim: int = 64
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pyramid: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        base_hw = pyramid[0].shape[1:3]
+        acc = None
+        for i, p in enumerate(pyramid):
+            if i == len(pyramid) - 1:
+                n, h, w, _ = p.shape
+                p = jnp.concatenate([p, coord_features(n, h, w, p.dtype)], axis=-1)
+            f = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        name=f"level{i}", **kw)(p)
+            f = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"gn{i}")(f)
+            f = nn.relu(f)
+            f = resize_bilinear(f, base_hw)
+            acc = f if acc is None else acc + f
+        out = nn.Conv(self.embed_dim, (1, 1), name="embed", **kw)(acc)
+        return out  # (N, H/4, W/4, E)
+
+
+class InstanceKernelHead(nn.Module):
+    """Cell-grid instance mechanism: per-cell score + dynamic mask kernel.
+
+    Input: a mid-level pyramid feature (P3) with CoordConv, resized to the
+    S x S cell grid; a small conv tower; two 3x3 conv outputs:
+      * score logits  (N, S, S, 1)
+      * kernels       (N, S, S, E)
+    Candidate masks are produced by the caller as a single einsum between
+    kernels and the unified mask features.
+    """
+
+    grid_size: int = 16
+    embed_dim: int = 64
+    channels: int = 128
+    tower_depth: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        n, h, w, _ = feat.shape
+        x = jnp.concatenate([feat, coord_features(n, h, w, feat.dtype)], axis=-1)
+        x = resize_bilinear(x, (self.grid_size, self.grid_size))
+        for i in range(self.tower_depth):
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        name=f"tower{i}", **kw)(x)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"gn{i}")(x)
+            x = nn.relu(x)
+        scores = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], name="score", **kw)(x)
+        kernels = nn.Conv(self.embed_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                          name="kernel", **kw)(x)
+        return scores, kernels
+
+
+def candidate_masks(mask_feats: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-cell dynamic kernels to the unified mask features.
+
+    mask_feats: (N, H, W, E); kernels: (N, S, S, E)
+    returns mask logits (N, S*S, H, W) — one MXU einsum for all cells.
+    """
+    n, s1, s2, e = kernels.shape
+    k = kernels.reshape(n, s1 * s2, e)
+    return jnp.einsum("nhwe,nke->nkhw", mask_feats, k,
+                      preferred_element_type=jnp.float32).astype(mask_feats.dtype)

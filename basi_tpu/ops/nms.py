@@ -1,0 +1,141 @@
+"""On-device mask NMS over fixed-capacity candidate sets (SURVEY.md §2.13).
+
+The reference does greedy mask-NMS in CPU numpy loops over a dynamic number
+of candidates — the documented inference bottleneck. TPU-native redesign:
+
+  * ``matrix_nms`` — SOLO-style Matrix NMS: the entire pairwise mask-IoU
+    matrix is one (K, HW) x (HW, K) matmul on the MXU, and suppression is a
+    closed-form decay — no sequential loop at all. Default path.
+  * ``greedy_nms`` — exact greedy suppress-by-IoU as a ``lax.fori_loop`` over
+    the K fixed slots (data-independent trip count), for parity with the
+    reference's algorithm when exactness matters.
+
+Both take binarized/probability masks of shape (K, H, W) plus scores (K,)
+and return per-candidate keep/decay information with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-6
+
+
+def mask_iou_matrix(masks_a: jnp.ndarray, masks_b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU between two stacks of soft/binary masks.
+
+    masks_a: (A, H, W), masks_b: (B, H, W) -> (A, B). One MXU matmul.
+    """
+    a = masks_a.reshape(masks_a.shape[0], -1).astype(jnp.float32)
+    b = masks_b.reshape(masks_b.shape[0], -1).astype(jnp.float32)
+    inter = a @ b.T
+    area_a = jnp.sum(a, axis=1, keepdims=True)
+    area_b = jnp.sum(b, axis=1, keepdims=True).T
+    union = area_a + area_b - inter
+    return inter / jnp.maximum(union, _EPS)
+
+
+def matrix_nms(
+    masks: jnp.ndarray,
+    scores: jnp.ndarray,
+    sigma: float = 2.0,
+    kind: str = "gauss",
+) -> jnp.ndarray:
+    """Matrix NMS decay factors (SOLOv2-style), fully parallel.
+
+    masks: (K, H, W) binary masks; scores: (K,). Returns decayed scores (K,).
+    Candidates need NOT be pre-sorted — ordering is handled via score
+    comparisons, so this composes with top-k selection in any order.
+    """
+    iou = mask_iou_matrix(masks, masks)  # (K, K)
+    # For candidate j, suppression comes from any higher-scoring candidate i.
+    higher = (scores[:, None] > scores[None, :]).astype(jnp.float32)  # i>j
+    sup_iou = iou * higher  # iou with higher-scored candidates only
+    # Max IoU each *suppressor* i suffers from its own suppressors.
+    comp_iou = jnp.max(sup_iou, axis=0)  # (K,) per candidate as target
+    if kind == "gauss":
+        decay = jnp.exp(-(sup_iou ** 2 - comp_iou[:, None] ** 2) * sigma)
+    else:  # linear
+        decay = (1.0 - sup_iou) / jnp.maximum(1.0 - comp_iou[:, None], _EPS)
+    decay = jnp.min(jnp.where(higher > 0, decay, 1.0), axis=0)
+    return scores * decay
+
+
+def greedy_nms(
+    masks: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Exact greedy mask-NMS with a static trip count.
+
+    Returns keep mask (K,) of 0/1. Matches the reference's sequential
+    algorithm (highest score first, suppress IoU > threshold) but runs
+    on-device: the IoU matrix is one matmul, the greedy scan is a
+    ``fori_loop`` over K slots.
+    """
+    k = scores.shape[0]
+    order = jnp.argsort(-scores)  # high to low
+    iou = mask_iou_matrix(masks, masks)
+    iou_sorted = iou[order][:, order]  # (K, K) in score order
+
+    def body(i, keep):
+        # Suppressed if any kept earlier candidate overlaps > threshold.
+        earlier = jnp.arange(k) < i
+        overlap = jnp.any(earlier & (keep > 0) & (iou_sorted[i] > iou_threshold))
+        return keep.at[i].set(jnp.where(overlap, 0, 1))
+
+    keep_sorted = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), jnp.int32))
+    # Scatter back to original order.
+    keep = jnp.zeros((k,), jnp.int32).at[order].set(keep_sorted)
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("num_slots", "nms", "pre_top_k"))
+def select_instances(
+    mask_logits: jnp.ndarray,
+    cell_scores: jnp.ndarray,
+    num_slots: int = 20,
+    score_threshold: float = 0.1,
+    mask_threshold: float = 0.5,
+    nms: str = "matrix",
+    nms_sigma: float = 2.0,
+    nms_iou_threshold: float = 0.5,
+    pre_top_k: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full instance selection for ONE image, static shapes throughout.
+
+    mask_logits: (C, H, W) candidate mask logits (C = S*S cells)
+    cell_scores: (C,) objectness logits
+    Returns (slot_masks (num_slots, H, W) sigmoid probs, slot_scores (num_slots,)).
+    Empty slots have score 0. vmap over the batch dimension for batched use.
+    """
+    probs = jax.nn.sigmoid(cell_scores.astype(jnp.float32))
+    # SOLO-style mask-quality reweighting: score *= mean prob in binary mask.
+    mask_probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    binary = (mask_probs > mask_threshold).astype(jnp.float32)
+    area = jnp.sum(binary, axis=(-2, -1))
+    quality = jnp.sum(mask_probs * binary, axis=(-2, -1)) / jnp.maximum(area, _EPS)
+    scores = probs * quality * (area > 0)
+    scores = jnp.where(scores >= score_threshold, scores, 0.0)
+
+    # Pre-NMS top-k to bound the IoU matmul.
+    top_scores, top_idx = jax.lax.top_k(scores, pre_top_k)
+    top_binary = binary[top_idx]
+    top_probs = mask_probs[top_idx]
+
+    if nms == "matrix":
+        final_scores = matrix_nms(top_binary, top_scores, sigma=nms_sigma)
+    elif nms == "greedy":
+        keep = greedy_nms(top_binary, top_scores, iou_threshold=nms_iou_threshold)
+        final_scores = top_scores * keep
+    else:
+        raise ValueError(f"unknown nms {nms!r}")
+    final_scores = jnp.where(final_scores >= score_threshold, final_scores, 0.0)
+
+    slot_scores, slot_pos = jax.lax.top_k(final_scores, num_slots)
+    slot_masks = top_probs[slot_pos]
+    slot_masks = slot_masks * (slot_scores[:, None, None] > 0)
+    return slot_masks, slot_scores

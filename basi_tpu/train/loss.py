@@ -1,0 +1,82 @@
+"""Combined BASI training loss (SURVEY §2.10): instance + saliency terms.
+
+  * instance mask loss: Dice (+BCE) on positive cells' predicted masks
+  * instance score loss: focal loss on the S x S objectness grid
+  * saliency loss: BCE+Dice (or BASNet hybrid BCE+SSIM+IoU) on the fused
+    map and each deep-supervision level, target = union of GT instance masks
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from basi_tpu.models.basi import BASIOutputs
+from basi_tpu.ops.losses import dice_loss, focal_loss, saliency_loss, sigmoid_bce
+from basi_tpu.train.targets import assign_targets_batch
+
+
+def basi_loss(
+    outputs: BASIOutputs,
+    gt_masks: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    *,
+    loss_kind: str = "bce_dice",
+    mask_weight: float = 3.0,
+    score_weight: float = 1.0,
+    saliency_weight: float = 1.0,
+    center_sigma: float = 0.2,
+) -> tuple[jnp.ndarray, dict[str, Any]]:
+    """Total loss for a batch. gt_masks: (N, M, H, W); gt_valid: (N, M)."""
+    n, c, mh, mw = outputs.mask_logits.shape
+    s = outputs.cell_scores.shape[1]
+
+    tgt_masks, cell_pos, score_tgt = assign_targets_batch(
+        gt_masks, gt_valid, grid_size=s, mask_hw=(mh, mw),
+        center_sigma=center_sigma,
+    )
+
+    # Instance masks: Dice over positive cells (+BCE, matching the
+    # reference's BCE+Dice recipe applied per instance).
+    inst_dice = dice_loss(outputs.mask_logits, tgt_masks, valid=cell_pos)
+    inst_bce = sigmoid_bce(
+        outputs.mask_logits, tgt_masks,
+        weights=jnp.broadcast_to(
+            cell_pos[..., None, None], outputs.mask_logits.shape
+        ),
+    )
+    mask_loss = inst_dice + inst_bce
+
+    # Cell objectness: focal loss.
+    score_loss = focal_loss(outputs.cell_scores, score_tgt)
+
+    # Saliency: union of valid GT masks, at /4 resolution via maxpool.
+    union = jnp.max(
+        gt_masks * gt_valid[..., None, None].astype(gt_masks.dtype), axis=1
+    )  # (N, H, W)
+    gh, gw = union.shape[1:]
+    sh, sw = outputs.saliency_logits.shape[1:3]
+    fh, fw = gh // sh, gw // sw
+    union_small = jnp.max(
+        union.reshape(n, sh, fh, sw, fw), axis=(2, 4)
+    ).astype(jnp.float32)
+    sal = saliency_loss(outputs.saliency_logits, union_small, kind=loss_kind)
+    for aux in outputs.saliency_aux:
+        sal = sal + saliency_loss(aux, union_small, kind=loss_kind)
+    sal = sal / (1 + len(outputs.saliency_aux))
+
+    total = (
+        mask_weight * mask_loss
+        + score_weight * score_loss
+        + saliency_weight * sal
+    )
+    metrics = {
+        "loss": total,
+        "mask_dice": inst_dice,
+        "mask_bce": inst_bce,
+        "score_focal": score_loss,
+        "saliency": sal,
+        "num_pos_cells": jnp.sum(cell_pos) / n,
+    }
+    return total, metrics
