@@ -57,7 +57,9 @@ class TrainConfig:
     score_loss_weight: float = 1.0
     mask_loss_weight: float = 3.0
     saliency_loss_weight: float = 1.0
-    grad_clip_norm: float = 0.0  # 0 disables
+    # The reference trains unclipped (pretrained backbone tolerates it);
+    # from random init the cell-grid BCE can spike, so clip by default.
+    grad_clip_norm: float = 10.0  # 0 disables
     seed: int = 0
     checkpoint_dir: str = "./ckpt"
     checkpoint_every_steps: int = 0  # 0 -> per epoch

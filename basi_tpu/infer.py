@@ -1,0 +1,163 @@
+"""Inference/eval runner (SURVEY §3.2): the reference's ``MyTest`` path.
+
+preprocess (device) -> jitted forward -> on-device instance selection
+(matrix/greedy mask NMS) -> fused Pallas upsample+sigmoid to full res ->
+device IoU vs GT -> host AP accumulation. No D2H of full-resolution masks
+unless PNGs are requested — the reference's CPU-numpy postproc bottleneck
+is gone entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basi_tpu.config import Config
+from basi_tpu.data.datasets import iter_epoch, make_dataset
+from basi_tpu.evals.ap import APAccumulator
+from basi_tpu.models.basi import create_model, init_model
+from basi_tpu.ops.nms import mask_iou_matrix, select_instances
+from basi_tpu.ops.pallas.upsample_sigmoid import (
+    upsample_sigmoid,
+    upsample_sigmoid_reference,
+)
+from basi_tpu.utils.logging import MetricLogger, save_mask_pngs
+from basi_tpu.utils.profiling import StepTimer, maybe_trace
+
+
+class Inferencer:
+    def __init__(self, cfg: Config, model=None, params=None, batch_stats=None,
+                 checkpoint: str = ""):
+        self.cfg = cfg
+        self.model = model or create_model(cfg.model)
+        if params is None:
+            if checkpoint:
+                from basi_tpu.utils.checkpoint import load_params
+
+                tmpl_p, tmpl_b = init_model(self.model, cfg.model.image_size)
+                restored = load_params(
+                    checkpoint, {"params": tmpl_p, "batch_stats": tmpl_b}
+                )
+                params = restored["params"]
+                batch_stats = restored["batch_stats"]
+            else:
+                params, batch_stats = init_model(self.model, cfg.model.image_size)
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self._use_pallas = jax.default_backend() == "tpu"
+        self._build()
+
+    def _build(self):
+        cfg = self.cfg
+        mean = tuple(cfg.data.mean)
+        std = tuple(cfg.data.std)
+        icfg = cfg.infer
+        compute_dtype = jnp.dtype(icfg.dtype) if icfg.dtype else self.model.dtype
+        # flax modules promote to their own dtype, so bf16 inference needs
+        # the MODULE dtype switched, not just the input cast.
+        model = (self.model if compute_dtype == self.model.dtype
+                 else self.model.clone(dtype=compute_dtype))
+
+        @jax.jit
+        def run(params, batch_stats, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+            x = x.astype(compute_dtype)
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            masks, scores = jax.vmap(
+                lambda m, s: select_instances(
+                    m, s.reshape(-1),
+                    num_slots=cfg.model.num_slots,
+                    score_threshold=icfg.score_threshold,
+                    mask_threshold=icfg.mask_threshold,
+                    nms=icfg.nms,
+                    nms_sigma=icfg.nms_sigma,
+                    nms_iou_threshold=icfg.nms_iou_threshold,
+                    pre_top_k=icfg.pre_nms_top_k,
+                )
+            )(out.mask_logits, out.cell_scores)
+            return masks, scores, out
+
+        self._run = run
+
+        size = cfg.model.image_size
+
+        @jax.jit
+        def iou_vs_gt(slot_masks, gt_masks):
+            # slot_masks at /4; GT at full res -> maxpool GT down to /4 for
+            # the matching matrix (exact for IoU up to quantization; the
+            # full-res path via upsample_sigmoid is used when saving masks).
+            n, m, gh, gw = gt_masks.shape
+            mh, mw = slot_masks.shape[-2:]
+            fh, fw = gh // mh, gw // mw
+            gt_small = jnp.max(
+                gt_masks.reshape(n, m, mh, fh, mw, fw), axis=(3, 5)
+            ).astype(jnp.float32)
+            pm = (slot_masks > icfg.mask_threshold).astype(jnp.float32)
+            return jax.vmap(mask_iou_matrix)(pm, gt_small)
+
+        self._iou_vs_gt = iou_vs_gt
+
+    def full_res_masks(self, slot_mask_logits_or_probs: jnp.ndarray):
+        """Upsample slot masks to the model input resolution (fused kernel)."""
+        size = self.cfg.model.image_size
+        probs = slot_mask_logits_or_probs
+        logits = jnp.log(jnp.clip(probs, 1e-6, 1 - 1e-6)) - jnp.log1p(
+            -jnp.clip(probs, 1e-6, 1 - 1e-6)
+        )
+        fn = upsample_sigmoid if self._use_pallas else upsample_sigmoid_reference
+        return fn(logits, (size, size))
+
+    def predict_batch(self, images_u8: np.ndarray):
+        masks, scores, out = self._run(self.params, self.batch_stats, images_u8)
+        return masks, scores, out
+
+    def evaluate(self, dataset=None, max_batches: int = 0,
+                 logger: MetricLogger | None = None) -> dict:
+        cfg = self.cfg
+        dataset = dataset or make_dataset(cfg.data, split="val")
+        acc = APAccumulator(thresholds=(0.5, 0.7))
+        timer = StepTimer()
+        n_img = 0
+        t_ms = []
+        with maybe_trace(cfg.profile, cfg.profile_dir):
+            for bi, batch in enumerate(iter_epoch(
+                dataset, cfg.infer.batch_size, shuffle=False, seed=0,
+                drop_last=False,
+            )):
+                if max_batches and bi >= max_batches:
+                    break
+                masks, scores, _ = self.predict_batch(batch["image"])
+                iou = self._iou_vs_gt(masks, jnp.asarray(batch["masks"]))
+                # device_get (not block_until_ready) — the latter can return
+                # early on the axon PJRT tunnel and fake the timing.
+                iou_h = np.asarray(jax.device_get(iou))
+                scores_h = np.asarray(jax.device_get(scores))
+                ms = timer.mark()
+                if bi > 0:
+                    t_ms.append(ms)
+                for i in range(len(batch["valid"])):
+                    acc.add(scores_h[i], iou_h[i], batch["valid"][i])
+                    n_img += 1
+                if cfg.infer.save_png:
+                    full = jax.device_get(self.full_res_masks(masks))
+                    for i in range(len(batch["valid"])):
+                        save_mask_pngs(
+                            cfg.infer.output_dir, f"b{bi}_i{i}",
+                            full[i], scores_h[i],
+                            cfg.infer.score_threshold,
+                        )
+        metrics = acc.ap()
+        if t_ms:
+            per_batch = float(np.mean(t_ms))
+            metrics["infer_ms_per_batch"] = round(per_batch, 2)
+            metrics["imgs_per_s"] = round(cfg.infer.batch_size / (per_batch / 1000), 1)
+        metrics["num_images"] = n_img
+        if logger:
+            logger.log(metrics, prefix="[eval]")
+        return metrics

@@ -9,6 +9,7 @@ called under jit; all output shapes are static.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import flax.linen as nn
@@ -43,6 +44,7 @@ class BASINet(nn.Module):
     mask_channels: int = 64
     grid_size: int = 16
     remat: bool = False
+    bn_axis: str | None = None  # sync-BN axis under shard_map DP
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -53,11 +55,13 @@ class BASINet(nn.Module):
             trunk_cls = ResNet50
         elif self.backbone == "vgg16":
             trunk_cls = VGG16
+        elif self.backbone == "resnet_tiny":  # 1-block stages, for fast tests
+            trunk_cls = functools.partial(ResNet50, stage_sizes=(1, 1, 1, 1))
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
         if self.remat:
             trunk_cls = nn.remat(trunk_cls, static_argnums=(2,))
-        feats = trunk_cls(name="backbone", **kw)(image, train)
+        feats = trunk_cls(name="backbone", bn_axis=self.bn_axis, **kw)(image, train)
 
         pyramid = FPNDecoder(self.fpn_channels, name="fpn", **kw)(feats)
 

@@ -32,6 +32,14 @@ import jax.numpy as jnp
 
 from basi_tpu.ops.resize import resize_bilinear
 
+# Detection-style head init: final prediction convs start near zero so
+# initial logits are ~0 (BCE ~0.69) instead of exploding (random 32-dim
+# embedding dot-products reach |logit|~10 and diverge under SGD+momentum);
+# the objectness conv bias starts at the focal prior -log((1-pi)/pi),
+# pi=0.01, so the score branch begins predicting "background everywhere".
+_pred_kernel_init = nn.initializers.normal(stddev=0.01)
+_focal_prior_bias = nn.initializers.constant(-4.595)  # pi = 0.01
+
 
 def coord_features(n: int, h: int, w: int, dtype: Any) -> jnp.ndarray:
     """Normalized (-1..1) x/y coordinate maps, (N, H, W, 2) — CoordConv."""
@@ -66,11 +74,13 @@ class SaliencyHead(nn.Module):
                         name=f"tower{i}", **kw)(p)
             f = nn.relu(f)
             logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                             kernel_init=_pred_kernel_init,
                              name=f"out{i}", **kw)(f)
             level_logits.append(resize_bilinear(logits, base_hw))
             fused_feats.append(resize_bilinear(f, base_hw))
         fused = jnp.concatenate(fused_feats, axis=-1)
         fused_logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                               kernel_init=_pred_kernel_init,
                                name="fuse", **kw)(fused)
         return fused_logits, level_logits
 
@@ -138,8 +148,11 @@ class InstanceKernelHead(nn.Module):
             x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
                              param_dtype=self.param_dtype, name=f"gn{i}")(x)
             x = nn.relu(x)
-        scores = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], name="score", **kw)(x)
+        scores = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                         kernel_init=_pred_kernel_init,
+                         bias_init=_focal_prior_bias, name="score", **kw)(x)
         kernels = nn.Conv(self.embed_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                          kernel_init=_pred_kernel_init,
                           name="kernel", **kw)(x)
         return scores, kernels
 

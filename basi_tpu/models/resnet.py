@@ -25,6 +25,7 @@ class ConvBN(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    bn_axis: str | None = None  # cross-replica sync-BN axis under shard_map
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -45,6 +46,7 @@ class ConvBN(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            axis_name=self.bn_axis,
             name="bn",
         )(x)
         return x
@@ -58,10 +60,12 @@ class Bottleneck(nn.Module):
     project: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_axis=self.bn_axis)
         residual = x
         y = ConvBN(self.features, 1, 1, name="a", **kw)(x, train)
         y = nn.relu(y)
@@ -82,10 +86,12 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_axis=self.bn_axis)
         x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -20,6 +20,7 @@ class VGG16(nn.Module):
 
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    bn_axis: str | None = None  # unused: classic VGG16 has no BatchNorm
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:

@@ -4,33 +4,53 @@ The reference trains with BCE + Dice (BASELINE north star); the BASNet-hybrid
 (BCE + SSIM + IoU) is provided as a config option since "BASI" is
 BASNet-flavoured and SURVEY §0 item 3 flags the composition as unverified.
 
-All losses are pure jnp, reduce to scalars, and are safe under bf16 inputs
-(they upcast to f32 internally).
+Every loss accepts an optional ``axis_name``: under ``shard_map`` data
+parallelism, numerators and denominators are ``psum``-ed across the axis
+BEFORE dividing, so the per-shard value (and its gradient contribution) is
+the exact global-batch loss — the 8-device step bit-matches the 1-device
+step instead of approximating it with mean-of-ratios. All losses upcast to
+f32 internally and are safe under bf16 inputs.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 _EPS = 1e-6
 
 
-def sigmoid_bce(logits: jnp.ndarray, targets: jnp.ndarray,
-                weights: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Mean binary cross-entropy from logits (numerically stable)."""
+def _ratio(num: jnp.ndarray, den: jnp.ndarray, axis_name: str | None) -> jnp.ndarray:
+    """num/den with both sides psum-ed over the data axis first."""
+    if axis_name:
+        num = lax.psum(num, axis_name)
+        den = lax.psum(den, axis_name)
+    return num / jnp.maximum(den, _EPS)
+
+
+def _bce_elems(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
-    per = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return (jnp.maximum(logits, 0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def sigmoid_bce(logits: jnp.ndarray, targets: jnp.ndarray,
+                weights: jnp.ndarray | None = None,
+                axis_name: str | None = None) -> jnp.ndarray:
+    """Mean binary cross-entropy from logits (numerically stable)."""
+    per = _bce_elems(logits, targets)
     if weights is None:
-        return jnp.mean(per)
+        return _ratio(jnp.sum(per), jnp.float32(per.size), axis_name)
     w = weights.astype(jnp.float32)
-    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), _EPS)
+    return _ratio(jnp.sum(per * w), jnp.sum(w), axis_name)
 
 
 def dice_loss(logits: jnp.ndarray, targets: jnp.ndarray,
               valid: jnp.ndarray | None = None,
-              spatial_axes: tuple[int, ...] = (-2, -1)) -> jnp.ndarray:
+              spatial_axes: tuple[int, ...] = (-2, -1),
+              axis_name: str | None = None) -> jnp.ndarray:
     """Soft Dice loss per mask, averaged over valid masks.
 
     logits/targets: (..., H, W); valid: broadcastable (...,) 0/1 weights.
@@ -41,40 +61,48 @@ def dice_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     denom = jnp.sum(p * p, axis=spatial_axes) + jnp.sum(t * t, axis=spatial_axes)
     dice = 1.0 - (2.0 * inter + _EPS) / (denom + _EPS)
     if valid is None:
-        return jnp.mean(dice)
+        return _ratio(jnp.sum(dice), jnp.float32(dice.size), axis_name)
     v = valid.astype(jnp.float32)
-    return jnp.sum(dice * v) / jnp.maximum(jnp.sum(v), _EPS)
+    return _ratio(jnp.sum(dice * v), jnp.sum(v), axis_name)
 
 
 def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
-               alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+               alpha: float = 0.25, gamma: float = 2.0,
+               axis_name: str | None = None) -> jnp.ndarray:
     """Sigmoid focal loss, summed over cells / normalized by #positives."""
     logits = logits.astype(jnp.float32)
     t = targets.astype(jnp.float32)
     p = jax.nn.sigmoid(logits)
-    ce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    ce = _bce_elems(logits, t)
     p_t = p * t + (1.0 - p) * (1.0 - t)
     alpha_t = alpha * t + (1.0 - alpha) * (1.0 - t)
     loss = alpha_t * (1.0 - p_t) ** gamma * ce
-    num_pos = jnp.maximum(jnp.sum(t), 1.0)
-    return jnp.sum(loss) / num_pos
+    num = jnp.sum(loss)
+    num_pos = jnp.sum(t)
+    if axis_name:
+        num = lax.psum(num, axis_name)
+        num_pos = lax.psum(num_pos, axis_name)
+    return num / jnp.maximum(num_pos, 1.0)
 
 
-def soft_iou_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def soft_iou_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                  axis_name: str | None = None) -> jnp.ndarray:
     """1 - soft IoU (BASNet hybrid component)."""
     p = jax.nn.sigmoid(logits.astype(jnp.float32))
     t = targets.astype(jnp.float32)
     inter = jnp.sum(p * t, axis=(-2, -1))
     union = jnp.sum(p + t - p * t, axis=(-2, -1))
-    return jnp.mean(1.0 - (inter + _EPS) / (union + _EPS))
+    per = 1.0 - (inter + _EPS) / (union + _EPS)
+    return _ratio(jnp.sum(per), jnp.float32(per.size), axis_name)
 
 
 def ssim_loss(logits: jnp.ndarray, targets: jnp.ndarray,
-              window: int = 11, c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jnp.ndarray:
+              window: int = 11, c1: float = 0.01 ** 2, c2: float = 0.03 ** 2,
+              axis_name: str | None = None) -> jnp.ndarray:
     """1 - mean SSIM between sigmoid(logits) and targets (BASNet hybrid).
 
-    Uses a uniform window (box filter) via depthwise avg-pooling — identical
-    structure to the Gaussian-window SSIM up to the window choice, and far
+    Uses a uniform window (box filter) via reduce_window — identical
+    structure to Gaussian-window SSIM up to the window choice, and far
     cheaper on the VPU.
     """
     p = jax.nn.sigmoid(logits.astype(jnp.float32))
@@ -97,14 +125,20 @@ def ssim_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     ssim = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / (
         (mu_p ** 2 + mu_t ** 2 + c1) * (var_p + var_t + c2)
     )
-    return 1.0 - jnp.mean(ssim)
+    per = 1.0 - ssim
+    return _ratio(jnp.sum(per), jnp.float32(per.size), axis_name)
 
 
-def saliency_loss(logits: jnp.ndarray, target: jnp.ndarray, kind: str = "bce_dice") -> jnp.ndarray:
+def saliency_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                  kind: str = "bce_dice",
+                  axis_name: str | None = None) -> jnp.ndarray:
     """Loss for one saliency map: (N, H, W, 1) logits vs (N, H, W) target."""
     lg = logits[..., 0]
     if kind == "bce_dice":
-        return sigmoid_bce(lg, target) + dice_loss(lg, target)
+        return (sigmoid_bce(lg, target, axis_name=axis_name)
+                + dice_loss(lg, target, axis_name=axis_name))
     if kind == "basnet_hybrid":
-        return sigmoid_bce(lg, target) + ssim_loss(lg, target) + soft_iou_loss(lg, target)
+        return (sigmoid_bce(lg, target, axis_name=axis_name)
+                + ssim_loss(lg, target, axis_name=axis_name)
+                + soft_iou_loss(lg, target, axis_name=axis_name))
     raise ValueError(f"unknown loss kind {kind!r}")

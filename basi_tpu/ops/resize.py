@@ -74,14 +74,22 @@ def resize_bilinear(
     n, h, w, c = x.shape
     oh, ow = out_hw
     dtype = x.dtype
-    wh = jnp.asarray(_interp_matrix(h, oh, align_corners), dtype=jnp.float32)
-    ww = jnp.asarray(_interp_matrix(w, ow, align_corners), dtype=jnp.float32)
+    # Precision policy follows the input dtype:
+    #  * f32 inputs (parity/eval paths): HIGHEST — the TPU default bf16
+    #    matmul pass costs ~4e-3 per-pixel vs torch, over the 1e-3 budget.
+    #  * bf16 inputs (production perf mode): single-pass bf16 MXU — the
+    #    caller already accepted bf16 noise; HIGHEST here would 6x the cost
+    #    of every FPN/head resize.
+    if dtype == jnp.bfloat16:
+        prec = jax.lax.Precision.DEFAULT
+        wdtype = jnp.bfloat16
+    else:
+        prec = jax.lax.Precision.HIGHEST
+        wdtype = jnp.float32
+    wh = jnp.asarray(_interp_matrix(h, oh, align_corners), dtype=wdtype)
+    ww = jnp.asarray(_interp_matrix(w, ow, align_corners), dtype=wdtype)
 
-    xf = x.astype(jnp.float32)
-    # Interpolation weights have ~8 significant bits of structure; the TPU
-    # default bf16 matmul precision costs ~4e-3 per-pixel error vs torch,
-    # blowing the ≤1e-3 parity budget — pin HIGHEST (f32) precision here.
-    prec = jax.lax.Precision.HIGHEST
+    xf = x if dtype == jnp.bfloat16 else x.astype(jnp.float32)
     # (oh, h) x (n, h, w, c) -> (n, oh, w, c); contract along H.
     y = jnp.einsum("oh,nhwc->nowc", wh, xf, precision=prec,
                    preferred_element_type=jnp.float32)

@@ -1,0 +1,121 @@
+"""Training runner (SURVEY §2.12/§3.1): epoch loop, eval, checkpointing.
+
+The hot loop is ONE jitted ``train_step`` (shard_map DP over the mesh when
+more than one device is present); the host only feeds double-buffered uint8
+batches and logs metrics. Per-epoch: val AP + checkpoint save, mirroring
+the reference's per-epoch eval + ``torch.save``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from basi_tpu.config import Config
+from basi_tpu.data.datasets import make_dataset
+from basi_tpu.data.pipeline import DeviceFeed
+from basi_tpu.models.basi import create_model
+from basi_tpu.parallel.mesh import make_mesh
+from basi_tpu.train.state import create_train_state, make_optimizer
+from basi_tpu.train.step import make_train_step
+from basi_tpu.utils.checkpoint import CheckpointManager
+from basi_tpu.utils.logging import MetricLogger
+from basi_tpu.utils.profiling import StepTimer, maybe_trace
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.model = create_model(cfg.model)
+        n_dev = cfg.parallel.num_devices or len(jax.devices())
+        self.mesh = (
+            make_mesh(n_dev, cfg.parallel.data_axis) if n_dev > 1 else None
+        )
+        self.dataset = make_dataset(cfg.data, split="train")
+        self.val_dataset = make_dataset(cfg.data, split="val")
+
+        sharding = None
+        if self.mesh is not None:
+            mesh = self.mesh
+
+            def sharding(v):  # noqa: F811 - batch-dim sharding per array
+                return NamedSharding(
+                    mesh, P(cfg.parallel.data_axis, *([None] * (v.ndim - 1)))
+                )
+
+        self.feed = DeviceFeed(
+            self.dataset, cfg.data.batch_size, shuffle=True,
+            seed=cfg.train.seed, sharding=sharding,
+            depth=cfg.data.prefetch_depth,
+        )
+        steps_per_epoch = self.feed.steps_per_epoch() or cfg.train.steps_per_epoch
+        self.max_steps = steps_per_epoch * cfg.train.epochs
+        self.steps_per_epoch = steps_per_epoch
+
+        self.tx, self.schedule = make_optimizer(cfg.train, self.max_steps)
+        self.state = create_train_state(
+            self.model, cfg.model, cfg.train, self.max_steps
+        )
+        self.train_step = make_train_step(
+            self.model, self.tx, cfg.train, cfg.data,
+            mesh=self.mesh, data_axis=cfg.parallel.data_axis,
+        )
+        self.ckpt = (
+            CheckpointManager(cfg.train.checkpoint_dir,
+                              keep=cfg.train.keep_checkpoints)
+            if cfg.train.checkpoint_dir else None
+        )
+        if self.ckpt is not None:
+            self.state = self.ckpt.maybe_resume(self.state, cfg.train.resume)
+        self.logger = MetricLogger(cfg.metrics_path)
+        self.timer = StepTimer()
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        start_step = int(jax.device_get(self.state.step))
+        start_epoch = start_step // self.steps_per_epoch
+        last_metrics: dict = {}
+        with maybe_trace(cfg.profile, cfg.profile_dir):
+            for epoch in range(start_epoch, cfg.train.epochs):
+                for batch in self.feed.epoch(epoch):
+                    self.state, metrics = self.train_step(self.state, batch)
+                    step = int(jax.device_get(self.state.step))
+                    if step % cfg.train.log_every == 0 or step == self.max_steps:
+                        jax.block_until_ready(metrics["loss"])
+                        ms = self.timer.mark()
+                        lr = float(self.schedule(step))
+                        rec = {
+                            "step": step, "epoch": epoch,
+                            "lr": round(lr, 6),
+                            "step_ms": round(ms / max(1, cfg.train.log_every), 2),
+                            "imgs_per_s": round(
+                                cfg.data.batch_size * cfg.train.log_every
+                                / max(ms / 1000.0, 1e-9), 1)
+                            if ms > 0 else 0.0,
+                        }
+                        rec.update({k: float(jax.device_get(v))
+                                    for k, v in metrics.items()})
+                        self.logger.log(rec, prefix="[train]")
+                        last_metrics = rec
+                    if (self.ckpt is not None
+                            and cfg.train.checkpoint_every_steps
+                            and step % cfg.train.checkpoint_every_steps == 0):
+                        self.ckpt.save(self.state)
+                # per-epoch: eval + checkpoint (reference behavior)
+                eval_metrics = self.evaluate()
+                self.logger.log({"epoch": epoch, **eval_metrics}, prefix="[val]")
+                if self.ckpt is not None:
+                    self.ckpt.save(self.state)
+                last_metrics.update(eval_metrics)
+        return last_metrics
+
+    def evaluate(self, max_batches: int = 0) -> dict:
+        from basi_tpu.infer import Inferencer
+
+        inf = Inferencer(
+            self.cfg, model=self.model,
+            params=self.state.params, batch_stats=self.state.batch_stats,
+        )
+        return inf.evaluate(self.val_dataset, max_batches=max_batches)

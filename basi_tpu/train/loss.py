@@ -27,8 +27,14 @@ def basi_loss(
     score_weight: float = 1.0,
     saliency_weight: float = 1.0,
     center_sigma: float = 0.2,
+    axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, dict[str, Any]]:
-    """Total loss for a batch. gt_masks: (N, M, H, W); gt_valid: (N, M)."""
+    """Total loss for a batch. gt_masks: (N, M, H, W); gt_valid: (N, M).
+
+    With ``axis_name`` set (shard_map DP), every term is normalized by
+    GLOBAL counts via psum so the loss equals the single-device full-batch
+    loss exactly (see basi_tpu.ops.losses).
+    """
     n, c, mh, mw = outputs.mask_logits.shape
     s = outputs.cell_scores.shape[1]
 
@@ -39,17 +45,19 @@ def basi_loss(
 
     # Instance masks: Dice over positive cells (+BCE, matching the
     # reference's BCE+Dice recipe applied per instance).
-    inst_dice = dice_loss(outputs.mask_logits, tgt_masks, valid=cell_pos)
+    inst_dice = dice_loss(outputs.mask_logits, tgt_masks, valid=cell_pos,
+                          axis_name=axis_name)
     inst_bce = sigmoid_bce(
         outputs.mask_logits, tgt_masks,
         weights=jnp.broadcast_to(
             cell_pos[..., None, None], outputs.mask_logits.shape
         ),
+        axis_name=axis_name,
     )
     mask_loss = inst_dice + inst_bce
 
     # Cell objectness: focal loss.
-    score_loss = focal_loss(outputs.cell_scores, score_tgt)
+    score_loss = focal_loss(outputs.cell_scores, score_tgt, axis_name=axis_name)
 
     # Saliency: union of valid GT masks, at /4 resolution via maxpool.
     union = jnp.max(
@@ -61,9 +69,11 @@ def basi_loss(
     union_small = jnp.max(
         union.reshape(n, sh, fh, sw, fw), axis=(2, 4)
     ).astype(jnp.float32)
-    sal = saliency_loss(outputs.saliency_logits, union_small, kind=loss_kind)
+    sal = saliency_loss(outputs.saliency_logits, union_small, kind=loss_kind,
+                        axis_name=axis_name)
     for aux in outputs.saliency_aux:
-        sal = sal + saliency_loss(aux, union_small, kind=loss_kind)
+        sal = sal + saliency_loss(aux, union_small, kind=loss_kind,
+                                  axis_name=axis_name)
     sal = sal / (1 + len(outputs.saliency_aux))
 
     total = (
@@ -71,12 +81,17 @@ def basi_loss(
         + score_weight * score_loss
         + saliency_weight * sal
     )
+    pos_per_img = jnp.sum(cell_pos) / n
+    if axis_name:
+        import jax
+
+        pos_per_img = jax.lax.pmean(pos_per_img, axis_name)
     metrics = {
         "loss": total,
         "mask_dice": inst_dice,
         "mask_bce": inst_bce,
         "score_focal": score_loss,
         "saliency": sal,
-        "num_pos_cells": jnp.sum(cell_pos) / n,
+        "num_pos_cells": pos_per_img,
     }
     return total, metrics

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from basi_tpu.data.transforms import random_augment
-from basi_tpu.ops.pallas.normalize_aug import normalize_and_flip_reference
+from basi_tpu.ops.pallas.normalize_aug import (
+    normalize_and_flip,
+    normalize_and_flip_reference,
+)
 from basi_tpu.train.loss import basi_loss
 from basi_tpu.train.state import TrainState
 
@@ -39,6 +42,13 @@ def make_train_step(
     mean = tuple(cfg_data.mean)
     std = tuple(cfg_data.std)
 
+    axis_name = data_axis if mesh is not None else None
+    if mesh is not None:
+        # Cross-replica (sync) BatchNorm: with local-shard BN stats the
+        # sharded step would diverge from the single-device step; syncing
+        # makes DP exactly replica-count-invariant.
+        model = model.clone(bn_axis=data_axis)
+
     def loss_fn(params, batch_stats, images, gt_masks, gt_valid):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -52,24 +62,34 @@ def make_train_step(
             mask_weight=cfg_train.mask_loss_weight,
             score_weight=cfg_train.score_loss_weight,
             saliency_weight=cfg_train.saliency_loss_weight,
+            axis_name=axis_name,
         )
         return loss, (metrics, mutated["batch_stats"])
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    # The fused Pallas ingest kernel needs a real TPU; elsewhere (CPU tests,
+    # virtual meshes) use the bit-identical XLA reference implementation.
+    use_pallas = jax.default_backend() == "tpu"
+
     def local_step(state: TrainState, batch: dict[str, jnp.ndarray], shard_idx):
         rng = jax.random.fold_in(state.rng, state.step)
         rng = jax.random.fold_in(rng, shard_idx)
+        n = batch["image"].shape[0]
+        k_flip, k_aug = jax.random.split(rng)
+        flip = jax.random.bernoulli(
+            k_flip, cfg_data.hflip_prob, (n,)).astype(jnp.int32)
 
-        # uint8 -> normalized float (Pallas-fusable path), then joint aug.
-        imgs = normalize_and_flip_reference(
-            batch["image"], jnp.zeros((batch["image"].shape[0],), jnp.int32),
-            mean=mean, std=std, out_dtype=model.dtype,
-        )
+        # uint8 -> normalize + hflip fused on-device (Pallas on TPU).
+        norm = normalize_and_flip if use_pallas else normalize_and_flip_reference
+        imgs = norm(batch["image"], flip, mean=mean, std=std,
+                    out_dtype=model.dtype)
         masks = batch["masks"].astype(jnp.float32)
+        masks = jnp.where(flip[:, None, None, None] > 0,
+                          jnp.flip(masks, axis=3), masks)
         imgs, masks, _ = random_augment(
-            rng, imgs, masks,
-            hflip_prob=cfg_data.hflip_prob,
+            k_aug, imgs, masks,
+            hflip_prob=0.0,  # flip already applied in the fused ingest
             scale_range=tuple(cfg_data.scale_range),
             enable_scale=cfg_data.multiscale,
         )
@@ -79,9 +99,12 @@ def make_train_step(
         )
 
         if mesh is not None:
-            grads = jax.lax.pmean(grads, data_axis)
+            # The loss is GLOBALLY normalized (psum-ed num/den inside the
+            # loss), so each shard's gradient is its local CONTRIBUTION to
+            # the global gradient: psum (not pmean) completes it exactly.
+            grads = jax.lax.psum(grads, data_axis)
+            # Sync-BN semantics for running stats.
             new_stats = jax.lax.pmean(new_stats, data_axis)
-            metrics = jax.lax.pmean(metrics, data_axis)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)

@@ -1,0 +1,127 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): 512x512 images/sec/chip for batched inference
+through the full pipeline — normalize -> BASINet forward -> on-device
+instance selection (matrix NMS) — in bf16, batch 8, steady state.
+``vs_baseline`` is measured / 1000 (the >=1k imgs/s/chip target).
+
+  python bench.py            # inference benchmark (headline)
+  python bench.py --mode train   # train-step benchmark (tracked metric)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _bench_infer(batch_size: int = 8, iters: int = 30, warmup: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basi_tpu.config import get_config
+    from basi_tpu.infer import Inferencer
+
+    cfg = get_config(
+        "val_v4-8_ap",
+        [f"infer.batch_size={batch_size}", "data.dataset=synthetic"],
+    )
+    inf = Inferencer(cfg)
+    rng = np.random.RandomState(0)
+    size = cfg.model.image_size
+    batches = [
+        jax.device_put(jnp.asarray(
+            (rng.rand(batch_size, size, size, 3) * 255).astype(np.uint8)))
+        for _ in range(4)
+    ]
+
+    # NOTE: block_until_ready is unreliable on the axon PJRT tunnel (it can
+    # return before execution finishes, inflating throughput ~100x). Fetch a
+    # checksum scalar per call instead — device_get cannot lie. Checksums
+    # are collected AFTER dispatching everything so calls still pipeline.
+    @jax.jit
+    def checksum(masks, scores):
+        return jnp.sum(masks) + jnp.sum(scores)
+
+    def one(i):
+        masks, scores, _ = inf.predict_batch(batches[i % len(batches)])
+        return checksum(masks, scores)
+
+    for i in range(warmup):
+        float(jax.device_get(one(i)))
+
+    t0 = time.perf_counter()
+    sums = [one(i) for i in range(iters)]
+    _ = [float(jax.device_get(s)) for s in sums]
+    dt = time.perf_counter() - t0
+
+    imgs_per_s = batch_size * iters / dt
+    return {
+        "metric": "512x512 images/sec/chip (infer, bf16, batch 8, fwd+NMS)",
+        "value": round(imgs_per_s, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_s / 1000.0, 3),
+    }
+
+
+def _bench_train(batch_size: int = 16, iters: int = 10, warmup: int = 3) -> dict:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basi_tpu.config import get_config
+    from basi_tpu.models.basi import create_model
+    from basi_tpu.train.state import create_train_state, make_optimizer
+    from basi_tpu.train.step import make_train_step
+
+    cfg = get_config("train_ilso_1ep")
+    model = create_model(cfg.model)
+    tx, _ = make_optimizer(cfg.train, max_steps=1000)
+    state = create_train_state(model, cfg.model, cfg.train, max_steps=1000)
+    step = make_train_step(model, tx, cfg.train, cfg.data, mesh=None,
+                           donate=False)
+
+    rng = np.random.RandomState(0)
+    size = cfg.model.image_size
+    m = cfg.data.max_instances
+    batch = {
+        "image": jnp.asarray((rng.rand(batch_size, size, size, 3) * 255)
+                             .astype(np.uint8)),
+        "masks": jnp.asarray((rng.rand(batch_size, m, size, size) > 0.8)
+                             .astype(np.uint8)),
+        "valid": jnp.asarray(np.ones((batch_size, m), np.uint8)),
+    }
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(jax.device_get(metrics["loss"]))  # real sync (see _bench_infer note)
+    t0 = time.perf_counter()
+    losses = []
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+        losses.append(metrics["loss"])
+    _ = [float(jax.device_get(l)) for l in losses]
+    dt = time.perf_counter() - t0
+    ms = dt / iters * 1000
+    return {
+        "metric": f"train step ms (batch {batch_size}, 512x512, f32)",
+        "value": round(ms, 2),
+        "unit": "ms/step",
+        "vs_baseline": round((batch_size / (dt / iters)) / 1000.0, 3),
+    }
+
+
+def run(mode: str = "infer") -> int:
+    result = _bench_infer() if mode == "infer" else _bench_train()
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="infer", choices=["infer", "train"])
+    args = p.parse_args()
+    raise SystemExit(run(args.mode))

@@ -1,0 +1,52 @@
+"""Fault tolerance (SURVEY §5.3/5.4): checkpoint between steps, restart,
+assert BITWISE-identical continuation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basi_tpu.models.basi import create_model
+from basi_tpu.train.state import create_train_state, make_optimizer
+from basi_tpu.train.step import make_train_step
+from basi_tpu.utils.checkpoint import CheckpointManager
+
+from helpers import tiny_batch, tiny_config
+
+
+def test_bitwise_resume(tmp_path):
+    cfg = tiny_config()
+    model = create_model(cfg.model)
+    tx, _ = make_optimizer(cfg.train, max_steps=8)
+    state = create_train_state(model, cfg.model, cfg.train, max_steps=8)
+    step_fn = make_train_step(model, tx, cfg.train, cfg.data, mesh=None,
+                              donate=False)
+    batches = [
+        {k: jnp.asarray(v) for k, v in tiny_batch(np.random.RandomState(s)).items()}
+        for s in range(4)
+    ]
+
+    # Continuous run: 4 steps, snapshot after step 2.
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    s = state
+    for i, b in enumerate(batches):
+        s, _ = step_fn(s, b)
+        if i == 1:
+            mgr.save(s)
+    final_continuous = s
+
+    # Simulated crash: restore the snapshot ("new process"), redo steps 3-4.
+    template = create_train_state(model, cfg.model, cfg.train, max_steps=8)
+    restored = mgr.restore(template)
+    assert int(jax.device_get(restored.step)) == 2
+    s2 = restored
+    for b in batches[2:]:
+        s2, _ = step_fn(s2, b)
+
+    for a, b in zip(jax.tree.leaves(final_continuous.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(final_continuous.opt_state),
+                    jax.tree.leaves(s2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,80 @@
+"""Golden tests: torch->JAX backbone conversion reproduces the torch CPU
+oracle end to end (SURVEY §7 hard part #5: BN stats, padding conventions,
+NCHW->NHWC — silent errors here surface only as AP drift)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from basi_tpu.convert.torch_import import (
+    import_resnet50_backbone,
+    import_vgg16_backbone,
+)
+from basi_tpu.models.resnet import ResNet50
+from basi_tpu.models.vgg import VGG16
+
+from torch_ref import ResNet50Trunk, VGG16Features
+
+
+def _randomize_bn_stats(model):
+    """Give BN non-trivial running stats so eval-mode conversion is tested."""
+    g = torch.Generator().manual_seed(0)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+def test_resnet50_tiny_conversion_matches_torch(rng):
+    stage_sizes = (1, 1, 1, 1)  # tiny for CPU speed; same code path as (3,4,6,3)
+    tmodel = ResNet50Trunk(stage_sizes).eval()
+    _randomize_bn_stats(tmodel)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    params, stats = import_resnet50_backbone(sd, stage_sizes)
+    jmodel = ResNet50(stage_sizes=stage_sizes)
+
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got = jmodel.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), False
+    )
+    for i, (g, w) in enumerate(zip(got, want)):
+        w = w.detach().permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(g), w, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"C{i + 2}")
+
+
+def test_converted_structure_matches_init(rng):
+    stage_sizes = (1, 1, 1, 1)
+    tmodel = ResNet50Trunk(stage_sizes)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = import_resnet50_backbone(sd, stage_sizes)
+
+    jmodel = ResNet50(stage_sizes=stage_sizes)
+    variables = jmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), False)
+    want_p = jax.tree.structure(variables["params"])
+    want_s = jax.tree.structure(variables["batch_stats"])
+    assert jax.tree.structure(params) == want_p
+    assert jax.tree.structure(stats) == want_s
+    # shapes too
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(variables["params"])):
+        assert a.shape == b.shape
+
+
+def test_vgg16_conversion_matches_torch(rng):
+    tmodel = VGG16Features().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, _ = import_vgg16_backbone(sd)
+    jmodel = VGG16()
+
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got = jmodel.apply({"params": params}, jnp.asarray(x), False)
+    for i, (g, w) in enumerate(zip(got, want)):
+        w = w.detach().permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(g), w, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"level {i}")

@@ -1,0 +1,119 @@
+"""Data path tests: synthetic dataset, folder dataset + decoders, the
+prefetch pipeline, and on-device joint augmentation."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basi_tpu.data.datasets import (
+    FolderDataset,
+    SyntheticDataset,
+    iter_epoch,
+    letterbox_params,
+)
+from basi_tpu.data.pipeline import DeviceFeed
+from basi_tpu.data.transforms import random_augment, scale_jitter_one
+
+import jax
+
+
+def test_synthetic_deterministic():
+    ds = SyntheticDataset(n=4, image_size=64, max_instances=4, seed=7)
+    a = ds.get(2)
+    b = ds.get(2)
+    np.testing.assert_array_equal(a.image, b.image)
+    np.testing.assert_array_equal(a.masks, b.masks)
+    assert a.valid.sum() >= 1
+    # instances are disjoint (occlusion resolved)
+    overlap = (a.masks.astype(int).sum(0) > 1).sum()
+    assert overlap == 0
+
+
+def test_letterbox_params():
+    assert letterbox_params(100, 200, 512) == (256, 512)
+    assert letterbox_params(512, 512, 512) == (512, 512)
+    assert letterbox_params(50, 25, 512) == (512, 256)
+
+
+def test_folder_dataset_labeled_png(tmp_path):
+    from PIL import Image
+
+    os.makedirs(tmp_path / "images")
+    os.makedirs(tmp_path / "masks")
+    rng = np.random.RandomState(0)
+    img = (rng.rand(80, 120, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "images" / "a.jpg")
+    lab = np.zeros((80, 120), np.uint8)
+    lab[10:30, 10:40] = 1
+    lab[50:70, 60:100] = 2
+    Image.fromarray(lab).save(tmp_path / "masks" / "a.png")
+
+    ds = FolderDataset(str(tmp_path), image_size=64, max_instances=4,
+                       decode_backend="pil")
+    assert len(ds) == 1
+    s = ds.get(0)
+    assert s.image.shape == (64, 64, 3)
+    assert s.valid.tolist() == [1, 1, 0, 0]
+    assert s.masks[0].sum() > 0 and s.masks[1].sum() > 0
+    assert tuple(s.orig_hw) == (80, 120)
+    # masks don't overlap and live inside the letterboxed content region
+    vh, vw = s.valid_hw
+    assert s.masks[:, vh:, :].sum() == 0
+    assert s.masks[:, :, vw:].sum() == 0
+
+
+def test_device_feed_matches_host_iter():
+    ds = SyntheticDataset(n=8, image_size=32, max_instances=2, seed=0)
+    feed = DeviceFeed(ds, batch_size=4, shuffle=True, seed=3)
+    got = [
+        {k: np.asarray(v) for k, v in b.items()} for b in feed.epoch(0)
+    ]
+    want = list(iter_epoch(ds, 4, shuffle=True, seed=3))
+    assert len(got) == len(want) == feed.steps_per_epoch()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["image"], w["image"])
+        np.testing.assert_array_equal(g["masks"], w["masks"])
+
+
+def test_device_feed_propagates_errors():
+    class Bad(SyntheticDataset):
+        def get(self, i):
+            raise RuntimeError("boom")
+
+    feed = DeviceFeed(Bad(n=4, image_size=32), batch_size=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(feed.epoch(0))
+
+
+def test_scale_jitter_identity(rng):
+    img = jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(2, 32, 32) > 0.5).astype(np.float32))
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    img2, masks2 = scale_jitter_one(img, masks, one, zero, zero)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(masks2), np.asarray(masks))
+
+
+def test_random_augment_flip_consistency(rng):
+    imgs = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(4, 2, 16, 16) > 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    out_i, out_m, flip = random_augment(key, imgs, masks, hflip_prob=1.0,
+                                        enable_scale=False)
+    np.testing.assert_allclose(np.asarray(out_i),
+                               np.asarray(jnp.flip(imgs, axis=2)), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_m),
+                                  np.asarray(jnp.flip(masks, axis=3)))
+
+
+def test_scale_jitter_zoom_out_pads(rng):
+    img = jnp.ones((32, 32, 3), jnp.float32)
+    masks = jnp.ones((1, 32, 32), jnp.float32)
+    img2, masks2 = scale_jitter_one(img, masks, jnp.float32(0.5),
+                                    jnp.float32(0.0), jnp.float32(0.0))
+    # zoomed out to half size: content occupies ~quarter area, rest zero
+    frac = float(np.asarray(masks2).mean())
+    assert 0.2 < frac < 0.35, frac

@@ -1,0 +1,49 @@
+"""Model-level tests: output shapes/contracts, determinism, VGG variant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basi_tpu.models.basi import BASINet, init_model
+
+
+@pytest.mark.parametrize("backbone", ["resnet_tiny", "vgg16"])
+def test_forward_shapes(backbone):
+    m = BASINet(backbone=backbone, fpn_channels=32, mask_channels=32,
+                grid_size=8)
+    params, bs = init_model(m, 64)
+    out = m.apply({"params": params, "batch_stats": bs},
+                  jnp.zeros((2, 64, 64, 3)), False)
+    assert out.saliency_logits.shape == (2, 16, 16, 1)
+    assert len(out.saliency_aux) == 4
+    assert out.cell_scores.shape == (2, 8, 8, 1)
+    assert out.cell_kernels.shape == (2, 8, 8, 32)
+    assert out.mask_feats.shape == (2, 16, 16, 32)
+    assert out.mask_logits.shape == (2, 64, 16, 16)
+
+
+def test_forward_deterministic(rng):
+    m = BASINet(backbone="resnet_tiny", fpn_channels=32, mask_channels=32,
+                grid_size=8)
+    params, bs = init_model(m, 64, seed=0)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    a = m.apply({"params": params, "batch_stats": bs}, x, False)
+    b = m.apply({"params": params, "batch_stats": bs}, x, False)
+    np.testing.assert_array_equal(np.asarray(a.mask_logits),
+                                  np.asarray(b.mask_logits))
+
+
+def test_train_mode_updates_batch_stats(rng):
+    m = BASINet(backbone="resnet_tiny", fpn_channels=32, mask_channels=32,
+                grid_size=8)
+    params, bs = init_model(m, 64, seed=0)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    _, mut = m.apply({"params": params, "batch_stats": bs}, x, True,
+                     mutable=["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(bs),
+                        jax.tree.leaves(mut["batch_stats"]))
+    )
+    assert changed

@@ -1,0 +1,94 @@
+"""Distributed-parity tests (SURVEY §4 item 2): the 8-device CPU mesh
+``shard_map`` train step must match the single-device step on the same
+global batch, and loss must decrease over a few steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basi_tpu.models.basi import create_model
+from basi_tpu.parallel.mesh import make_mesh
+from basi_tpu.train.state import create_train_state, make_optimizer
+from basi_tpu.train.step import make_train_step
+
+from helpers import tiny_batch, tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = create_model(cfg.model)
+    tx, _ = make_optimizer(cfg.train, max_steps=10)
+    state = create_train_state(model, cfg.model, cfg.train, max_steps=10)
+    return cfg, model, tx, state
+
+
+def test_single_device_loss_decreases(setup):
+    cfg, model, tx, state = setup
+    step_fn = make_train_step(model, tx, cfg.train, cfg.data, mesh=None,
+                              donate=False)
+    batch = tiny_batch(np.random.RandomState(0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = []
+    for _ in range(4):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+
+
+def test_shard_map_matches_single_device(setup):
+    cfg, model, tx, state0 = setup
+    mesh = make_mesh(8, "data")
+    batch = tiny_batch(np.random.RandomState(1))
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    single = make_train_step(model, tx, cfg.train, cfg.data, mesh=None,
+                             donate=False)
+    sharded = make_train_step(model, tx, cfg.train, cfg.data, mesh=mesh,
+                              donate=False)
+
+    # NOTE: per-shard aug PRNG folds in the shard index, so augmentation
+    # would differ between 1-dev and 8-dev. Disable randomness for the
+    # parity check by zeroing hflip prob and scale aug.
+    import dataclasses
+    data_cfg = dataclasses.replace(cfg.data, hflip_prob=0.0, multiscale=False)
+    single = make_train_step(model, tx, cfg.train, data_cfg, mesh=None,
+                             donate=False)
+    sharded = make_train_step(model, tx, cfg.train, data_cfg, mesh=mesh,
+                              donate=False)
+
+    s1, m1 = single(state0, batch_j)
+    s8, m8 = sharded(state0, batch_j)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=2e-5
+    )
+    # parameters after one step agree (DP grad-mean == full-batch grad)
+    flat1 = jax.tree.leaves(s1.params)
+    flat8 = jax.tree.leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_batch_stats_pmean_synced(setup):
+    cfg, model, tx, state0 = setup
+    mesh = make_mesh(8, "data")
+    import dataclasses
+    data_cfg = dataclasses.replace(cfg.data, hflip_prob=0.0, multiscale=False)
+    sharded = make_train_step(model, tx, cfg.train, data_cfg, mesh=mesh,
+                              donate=False)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(np.random.RandomState(2)).items()}
+    s8, _ = sharded(state0, batch)
+    # batch_stats must be identical across... (replicated output) — just
+    # check finite and changed from init.
+    leaves0 = jax.tree.leaves(state0.batch_stats)
+    leaves1 = jax.tree.leaves(s8.batch_stats)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves1)
+    )
+    assert changed
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves1)

@@ -1,0 +1,100 @@
+"""Torch CPU oracle models (torchvision is not installed; these mirror the
+torchvision resnet50/vgg16 architectures and state_dict naming exactly so
+the converter can be golden-tested)."""
+
+import torch
+import torch.nn as nn
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet50Trunk(nn.Module):
+    """torchvision resnet50 minus avgpool/fc, returning C2..C5."""
+
+    def __init__(self, stage_sizes=(3, 4, 6, 3)):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.inplanes = 64
+        self.layer1 = self._make_layer(64, stage_sizes[0], stride=1)
+        self.layer2 = self._make_layer(128, stage_sizes[1], stride=2)
+        self.layer3 = self._make_layer(256, stage_sizes[2], stride=2)
+        self.layer4 = self._make_layer(512, stage_sizes[3], stride=2)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                          bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+        layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        for _ in range(1, blocks):
+            layers.append(Bottleneck(self.inplanes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        c2 = self.layer1(x)
+        c3 = self.layer2(c2)
+        c4 = self.layer3(c3)
+        c5 = self.layer4(c4)
+        return c2, c3, c4, c5
+
+
+class VGG16Features(nn.Module):
+    """torchvision vgg16 .features with identical state_dict indices."""
+
+    def __init__(self):
+        super().__init__()
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512]
+        layers = []
+        in_ch = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(in_ch, v, 3, padding=1))
+                layers.append(nn.ReLU(inplace=True))
+                in_ch = v
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        taps = {15: None, 22: None, 29: None}  # conv3_3, conv4_3, conv5_3 post-relu
+        out = []
+        for i, layer in enumerate(self.features):
+            x = layer(x)
+            if i in (15, 22, 29):
+                out.append(x)
+        c2, c3, c4 = out
+        c5 = torch.nn.functional.max_pool2d(c4, 2, 2)
+        return c2, c3, c4, c5
