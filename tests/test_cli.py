@@ -1,0 +1,53 @@
+"""CLI surface tests: the two public entrypoints (train/infer) run end to
+end on tiny synthetic configs, mirroring the reference's MyTrain/MyTest."""
+
+import json
+
+import pytest
+
+from basi_tpu.cli import main
+
+TINY = [
+    "--set", "model.backbone=resnet_tiny",
+    "--set", "model.image_size=64",
+    "--set", "model.grid_size=8",
+    "--set", "model.fpn_channels=32",
+    "--set", "model.mask_channels=32",
+    "--set", "data.image_size=64",
+    "--set", "data.dataset=synthetic",
+    "--set", "data.batch_size=4",
+    "--set", "data.max_instances=4",
+    "--set", "infer.batch_size=4",
+    "--set", "infer.dtype=float32",
+    "--set", "parallel.num_devices=1",
+]
+
+
+def test_cli_train_and_infer(tmp_path, capsys):
+    rc = main(["train", *TINY,
+               "--set", f"train.checkpoint_dir={tmp_path}/ckpt",
+               "--set", "train.epochs=1",
+               "--metrics", f"{tmp_path}/m.jsonl"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    final = json.loads(out.strip().splitlines()[-1])
+    assert "final" in final and "AP@0.5" in final["final"]
+    # metrics JSONL written
+    lines = open(f"{tmp_path}/m.jsonl").read().strip().splitlines()
+    assert any('"loss"' in l for l in lines)
+
+    rc = main(["infer", *TINY, "--max-batches", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    metrics = json.loads(out.strip().splitlines()[-1])
+    assert "AP@0.5" in metrics and "num_images" in metrics
+
+
+def test_cli_bad_override():
+    with pytest.raises(KeyError):
+        main(["train", "--set", "nope.nope=1"])
+
+
+def test_cli_preset_unknown():
+    with pytest.raises(KeyError):
+        main(["train", "--preset", "definitely-not-a-preset"])
