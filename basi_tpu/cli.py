@@ -38,8 +38,10 @@ def _build_cfg(args):
 
 
 def cmd_train(args) -> int:
+    from basi_tpu.parallel.distributed import maybe_initialize
     from basi_tpu.train.loop import Trainer
 
+    maybe_initialize()
     cfg = _build_cfg(args)
     trainer = Trainer(cfg)
     metrics = trainer.train()

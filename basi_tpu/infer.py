@@ -19,7 +19,7 @@ from basi_tpu.config import Config
 from basi_tpu.data.datasets import iter_epoch, make_dataset
 from basi_tpu.evals.ap import APAccumulator
 from basi_tpu.models.basi import create_model, init_model
-from basi_tpu.ops.nms import mask_iou_matrix, select_instances
+from basi_tpu.ops.nms import mask_iou_matrix, select_instances_from_kernels
 from basi_tpu.ops.pallas.upsample_sigmoid import (
     upsample_sigmoid,
     upsample_sigmoid_reference,
@@ -67,11 +67,13 @@ class Inferencer:
             x = (x - jnp.asarray(mean)) / jnp.asarray(std)
             x = x.astype(compute_dtype)
             out = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=False, with_candidates=False,
             )
+            n, s1, s2, e = out.cell_kernels.shape
             masks, scores = jax.vmap(
-                lambda m, s: select_instances(
-                    m, s.reshape(-1),
+                lambda mf, k, s: select_instances_from_kernels(
+                    mf, k.reshape(s1 * s2, e), s.reshape(-1),
                     num_slots=cfg.model.num_slots,
                     score_threshold=icfg.score_threshold,
                     mask_threshold=icfg.mask_threshold,
@@ -80,10 +82,11 @@ class Inferencer:
                     nms_iou_threshold=icfg.nms_iou_threshold,
                     pre_top_k=icfg.pre_nms_top_k,
                 )
-            )(out.mask_logits, out.cell_scores)
-            return masks, scores, out
+            )(out.mask_feats, out.cell_kernels, out.cell_scores)
+            return masks, scores, out.saliency_logits
 
         self._run = run
+        self.run_fn = run  # public: composable into callers' jit/scan programs
 
         size = cfg.model.image_size
 
@@ -145,11 +148,24 @@ class Inferencer:
                     acc.add(scores_h[i], iou_h[i], batch["valid"][i])
                     n_img += 1
                 if cfg.infer.save_png:
-                    full = jax.device_get(self.full_res_masks(masks))
+                    # Reference behavior: masks saved at ORIGINAL image
+                    # resolution. Upsample (fused kernel) + on-device paste
+                    # into a fixed canvas, host only crops the view.
+                    from basi_tpu.ops.paste import paste_masks_batch
+
+                    size = cfg.model.image_size
+                    full = self.full_res_masks(masks)
+                    pasted = jax.device_get(paste_masks_batch(
+                        full, jnp.asarray(batch["valid_hw"]),
+                        (size, size), jnp.asarray(batch["orig_hw"]),
+                    ))
                     for i in range(len(batch["valid"])):
+                        oh, ow = batch["orig_hw"][i]
+                        oh = min(int(oh), size)
+                        ow = min(int(ow), size)
                         save_mask_pngs(
                             cfg.infer.output_dir, f"b{bi}_i{i}",
-                            full[i], scores_h[i],
+                            pasted[i][:, :oh, :ow], scores_h[i],
                             cfg.infer.score_threshold,
                         )
         metrics = acc.ap()

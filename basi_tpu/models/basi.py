@@ -35,7 +35,7 @@ class BASIOutputs(NamedTuple):
     cell_scores: jnp.ndarray  # (N, S, S, 1) objectness logits
     cell_kernels: jnp.ndarray  # (N, S, S, E) dynamic mask kernels
     mask_feats: jnp.ndarray  # (N, H/4, W/4, E) unified mask features
-    mask_logits: jnp.ndarray  # (N, S*S, H/4, W/4) candidate masks
+    mask_logits: jnp.ndarray | None  # (N, S*S, H/4, W/4) candidates (None when skipped)
 
 
 class BASINet(nn.Module):
@@ -49,7 +49,12 @@ class BASINet(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, train: bool = False) -> BASIOutputs:
+    def __call__(self, image: jnp.ndarray, train: bool = False,
+                 with_candidates: bool = True) -> BASIOutputs:
+        """``with_candidates=False`` skips materializing the (N, S*S, H, W)
+        candidate-mask tensor — the dominant HBM traffic — for inference
+        paths that apply only the top-k kernels after selection
+        (ops.nms.select_instances_from_kernels)."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.backbone == "resnet50":
             trunk_cls = ResNet50
@@ -74,7 +79,8 @@ class BASINet(nn.Module):
             name="instance", **kw,
         )(pyramid[1])  # P3 (stride 8) — mid-level context for cell scoring
 
-        mask_logits = candidate_masks(mask_feats, cell_kernels)
+        mask_logits = (candidate_masks(mask_feats, cell_kernels)
+                       if with_candidates else None)
         return BASIOutputs(
             saliency_logits=sal_logits,
             saliency_aux=tuple(sal_aux),

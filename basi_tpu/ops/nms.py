@@ -94,6 +94,65 @@ def greedy_nms(
 
 
 @functools.partial(jax.jit, static_argnames=("num_slots", "nms", "pre_top_k"))
+def select_instances_from_kernels(
+    mask_feats: jnp.ndarray,
+    kernels: jnp.ndarray,
+    cell_scores: jnp.ndarray,
+    num_slots: int = 20,
+    score_threshold: float = 0.1,
+    mask_threshold: float = 0.5,
+    nms: str = "matrix",
+    nms_sigma: float = 2.0,
+    nms_iou_threshold: float = 0.5,
+    pre_top_k: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bandwidth-lean instance selection for ONE image.
+
+    Instead of materializing all C candidate masks (C x H x W — the
+    dominant HBM traffic of the inference program), select the pre_top_k
+    cells by objectness FIRST and apply only THOSE dynamic kernels:
+    mask_feats (H, W, E), kernels (C, E), cell_scores (C,). Semantics match
+    ``select_instances`` with objectness prefiltering.
+    """
+    probs = jax.nn.sigmoid(cell_scores.astype(jnp.float32))
+    obj_scores, top_idx = jax.lax.top_k(probs, pre_top_k)
+    top_logits = jnp.einsum(
+        "hwe,ke->khw", mask_feats.astype(jnp.float32),
+        kernels[top_idx].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return _select_from_logits(
+        top_logits, obj_scores, num_slots, score_threshold, mask_threshold,
+        nms, nms_sigma, nms_iou_threshold,
+    )
+
+
+def _select_from_logits(top_logits, obj_scores, num_slots, score_threshold,
+                        mask_threshold, nms, nms_sigma, nms_iou_threshold):
+    """Shared tail: quality rescoring + NMS + slot packing (static shapes)."""
+    top_probs = jax.nn.sigmoid(top_logits.astype(jnp.float32))
+    top_binary = (top_probs > mask_threshold).astype(jnp.float32)
+    area = jnp.sum(top_binary, axis=(-2, -1))
+    quality = jnp.sum(top_probs * top_binary, axis=(-2, -1)) / jnp.maximum(area, _EPS)
+    top_scores = obj_scores * quality * (area > 0)
+    top_scores = jnp.where(top_scores >= score_threshold, top_scores, 0.0)
+
+    if nms == "matrix":
+        final_scores = matrix_nms(top_binary, top_scores, sigma=nms_sigma)
+    elif nms == "greedy":
+        keep = greedy_nms(top_binary, top_scores, iou_threshold=nms_iou_threshold)
+        final_scores = keep * top_scores
+    else:
+        raise ValueError(f"unknown nms {nms!r}")
+    final_scores = jnp.where(final_scores >= score_threshold, final_scores, 0.0)
+
+    slot_scores, slot_pos = jax.lax.top_k(final_scores, num_slots)
+    slot_masks = top_probs[slot_pos]
+    slot_masks = slot_masks * (slot_scores[:, None, None] > 0)
+    return slot_masks, slot_scores
+
+
+@functools.partial(jax.jit, static_argnames=("num_slots", "nms", "pre_top_k"))
 def select_instances(
     mask_logits: jnp.ndarray,
     cell_scores: jnp.ndarray,
@@ -113,29 +172,12 @@ def select_instances(
     Empty slots have score 0. vmap over the batch dimension for batched use.
     """
     probs = jax.nn.sigmoid(cell_scores.astype(jnp.float32))
-    # SOLO-style mask-quality reweighting: score *= mean prob in binary mask.
-    mask_probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
-    binary = (mask_probs > mask_threshold).astype(jnp.float32)
-    area = jnp.sum(binary, axis=(-2, -1))
-    quality = jnp.sum(mask_probs * binary, axis=(-2, -1)) / jnp.maximum(area, _EPS)
-    scores = probs * quality * (area > 0)
-    scores = jnp.where(scores >= score_threshold, scores, 0.0)
-
-    # Pre-NMS top-k to bound the IoU matmul.
-    top_scores, top_idx = jax.lax.top_k(scores, pre_top_k)
-    top_binary = binary[top_idx]
-    top_probs = mask_probs[top_idx]
-
-    if nms == "matrix":
-        final_scores = matrix_nms(top_binary, top_scores, sigma=nms_sigma)
-    elif nms == "greedy":
-        keep = greedy_nms(top_binary, top_scores, iou_threshold=nms_iou_threshold)
-        final_scores = top_scores * keep
-    else:
-        raise ValueError(f"unknown nms {nms!r}")
-    final_scores = jnp.where(final_scores >= score_threshold, final_scores, 0.0)
-
-    slot_scores, slot_pos = jax.lax.top_k(final_scores, num_slots)
-    slot_masks = top_probs[slot_pos]
-    slot_masks = slot_masks * (slot_scores[:, None, None] > 0)
-    return slot_masks, slot_scores
+    # Prefilter by objectness FIRST (top-k over C cheap scalars), then do
+    # the expensive per-pixel work (sigmoid/binarize/quality) on only the
+    # pre_top_k survivors — C/pre_top_k less VPU traffic on the hot path.
+    obj_scores, top_idx = jax.lax.top_k(probs, pre_top_k)
+    top_logits = mask_logits[top_idx].astype(jnp.float32)
+    return _select_from_logits(
+        top_logits, obj_scores, num_slots, score_threshold, mask_threshold,
+        nms, nms_sigma, nms_iou_threshold,
+    )

@@ -73,6 +73,10 @@ def resize_bilinear(
 
     n, h, w, c = x.shape
     oh, ow = out_hw
+    if (h, w) == (oh, ow):  # identity: skip two full matmuls
+        return x if not squeeze else (
+            x[0, :, :, 0] if squeeze == [0, -1] else x[0]
+        )
     dtype = x.dtype
     # Precision policy follows the input dtype:
     #  * f32 inputs (parity/eval paths): HIGHEST — the TPU default bf16

@@ -118,10 +118,11 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-        def train_step(state, batch):
+        def body(state, batch):
             return local_step(state, batch, jnp.zeros((), jnp.int32))
 
+        train_step = jax.jit(body, donate_argnums=(0,) if donate else ())
+        train_step.body = body  # unjitted: composable into scan programs
         return train_step
 
     batch_spec = {"image": P(data_axis), "masks": P(data_axis), "valid": P(data_axis)}

