@@ -22,6 +22,7 @@ class ModelConfig:
     num_slots: int = 20  # fixed instance capacity K after NMS
     image_size: int = 512  # square input resolution (SURVEY §2.2)
     saliency_levels: int = 4  # deep-supervision outputs P2..P5
+    stem_mode: str = "s2d"  # s2d (MXU-friendly, bit-exact) | conv7
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     param_dtype: str = "float32"
 

@@ -60,6 +60,14 @@ class Inferencer:
         # the MODULE dtype switched, not just the input cast.
         model = (self.model if compute_dtype == self.model.dtype
                  else self.model.clone(dtype=compute_dtype))
+        if compute_dtype == jnp.bfloat16:
+            # Pre-cast weights ONCE: profiler traces show runtime f32->bf16
+            # weight conversion/copy ops on every invocation otherwise
+            # (halves weight HBM reads too).
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), self.params)
+            self.batch_stats = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), self.batch_stats)
 
         @jax.jit
         def run(params, batch_stats, images_u8):
@@ -125,10 +133,17 @@ class Inferencer:
         cfg = self.cfg
         dataset = dataset or make_dataset(cfg.data, split="val")
         acc = APAccumulator(thresholds=(0.5, 0.7))
-        timer = StepTimer()
         n_img = 0
         t_ms = []
+        # Two-phase: dispatch every batch's program first (device work and
+        # host decode overlap; no per-batch sync), then fetch results. A
+        # synchronous fetch per batch would pay the ~30 ms relay round trip
+        # every iteration (see bench.py note).
+        import time as _time
+
+        pending = []
         with maybe_trace(cfg.profile, cfg.profile_dir):
+            t0 = _time.perf_counter()
             for bi, batch in enumerate(iter_epoch(
                 dataset, cfg.infer.batch_size, shuffle=False, seed=0,
                 drop_last=False,
@@ -137,17 +152,19 @@ class Inferencer:
                     break
                 masks, scores, _ = self.predict_batch(batch["image"])
                 iou = self._iou_vs_gt(masks, jnp.asarray(batch["masks"]))
-                # device_get (not block_until_ready) — the latter can return
-                # early on the axon PJRT tunnel and fake the timing.
+                pending.append((bi, batch, masks, scores, iou))
+            for bi, batch, masks, scores, iou in pending:
                 iou_h = np.asarray(jax.device_get(iou))
                 scores_h = np.asarray(jax.device_get(scores))
-                ms = timer.mark()
-                if bi > 0:
-                    t_ms.append(ms)
                 for i in range(len(batch["valid"])):
                     acc.add(scores_h[i], iou_h[i], batch["valid"][i])
                     n_img += 1
+            if pending:
+                total_ms = (_time.perf_counter() - t0) * 1000
+                t_ms = [total_ms / len(pending)]
+            for bi, batch, masks, scores, iou in pending:
                 if cfg.infer.save_png:
+                    scores_h = np.asarray(jax.device_get(scores))
                     # Reference behavior: masks saved at ORIGINAL image
                     # resolution. Upsample (fused kernel) + on-device paste
                     # into a fixed canvas, host only crops the view.

@@ -9,7 +9,6 @@ called under jit; all output shapes are static.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import flax.linen as nn
@@ -45,6 +44,7 @@ class BASINet(nn.Module):
     grid_size: int = 16
     remat: bool = False
     bn_axis: str | None = None  # sync-BN axis under shard_map DP
+    stem_mode: str = "conv7"  # conv7 | s2d (bit-exact MXU-friendly stem)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -56,17 +56,24 @@ class BASINet(nn.Module):
         paths that apply only the top-k kernels after selection
         (ops.nms.select_instances_from_kernels)."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        trunk_kwargs = dict(name="backbone", bn_axis=self.bn_axis, **kw)
         if self.backbone == "resnet50":
             trunk_cls = ResNet50
+            trunk_kwargs["stem_mode"] = self.stem_mode
         elif self.backbone == "vgg16":
             trunk_cls = VGG16
         elif self.backbone == "resnet_tiny":  # 1-block stages, for fast tests
-            trunk_cls = functools.partial(ResNet50, stage_sizes=(1, 1, 1, 1))
+            trunk_cls = ResNet50
+            trunk_kwargs["stage_sizes"] = (1, 1, 1, 1)
+            trunk_kwargs["stem_mode"] = self.stem_mode
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
         if self.remat:
+            # Rematerialize the trunk in backward: trades ~30% more FLOPs
+            # for dropping all trunk activations from HBM (SURVEY: HBM is
+            # the scaling bottleneck at 512^2 batch 16).
             trunk_cls = nn.remat(trunk_cls, static_argnums=(2,))
-        feats = trunk_cls(name="backbone", bn_axis=self.bn_axis, **kw)(image, train)
+        feats = trunk_cls(**trunk_kwargs)(image, train)
 
         pyramid = FPNDecoder(self.fpn_channels, name="fpn", **kw)(feats)
 
@@ -99,6 +106,7 @@ def create_model(cfg) -> BASINet:
         mask_channels=cfg.mask_channels,
         grid_size=cfg.grid_size,
         remat=getattr(cfg, "remat", False),
+        stem_mode=getattr(cfg, "stem_mode", "conv7"),
         dtype=jnp.dtype(cfg.dtype),
         param_dtype=jnp.dtype(cfg.param_dtype),
     )

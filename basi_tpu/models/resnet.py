@@ -80,19 +80,100 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
-class ResNet50(nn.Module):
-    """ResNet-50 trunk returning (C2, C3, C4, C5)."""
+class _StemKernel(nn.Module):
+    """Holds the canonical (7, 7, C, O) stem kernel under the name ConvBN
+    uses ('conv'/'kernel') so StemS2D is checkpoint-compatible with the
+    plain conv7 stem."""
 
-    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    features: int = 64
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_ch: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, in_ch, self.features), self.param_dtype,
+        )
+
+
+class StemS2D(nn.Module):
+    """Space-to-depth stem: ConvBN(64, 7, 2)-equivalent, MXU-friendly."""
+
+    features: int = 64
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None
 
     @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
+        in_ch = x.shape[-1]
+        k7 = _StemKernel(self.features, self.param_dtype, name="conv")(in_ch)
+        k = s2d_stem_kernel(k7).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            space_to_depth(x, 2).astype(self.dtype), k,
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            axis_name=self.bn_axis, name="bn",
+        )(y)
+        return y
+
+
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/b, W/b, b*b*C), channel order (a*b + bb)*C + c."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, block * block * c)
+
+
+def s2d_stem_kernel(k7: jnp.ndarray) -> jnp.ndarray:
+    """Rewrite a (7, 7, C, O) stride-2 stem kernel for space-to-depth input.
+
+    The 7x7/2 conv on (H, W, C) is EXACTLY equivalent to a 4x4/1 conv on
+    the 2x2 space-to-depth input (H/2, W/2, 4C) with this kernel layout
+    (the MLPerf TPU ResNet trick): the 3-channel stride-2 stem is the most
+    MXU-unfriendly op in the network; the rewrite quadruples the
+    contraction depth and removes the strided window reads. Derivation:
+    out row r taps input rows 2r + dy - 3; writing dy - 3 = 2m + a with
+    a in {0,1} gives 4 kernel rows m and the s2d sub-row a. Padding the
+    kernel front by one zero makes the (m, a) unrolling rectangular.
+    """
+    k8 = jnp.pad(k7, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, O)
+    _, _, c, o = k7.shape
+    k = k8.reshape(4, 2, 4, 2, c, o)  # (mi, a, ni, b, C, O)
+    k = k.transpose(0, 2, 1, 3, 4, 5)  # (mi, ni, a, b, C, O)
+    return k.reshape(4, 4, 4 * c, o)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 trunk returning (C2, C3, C4, C5).
+
+    ``stem_mode='s2d'`` runs the stem as a space-to-depth conv (bit-exact
+    rewrite, see s2d_stem_kernel); the stored parameter stays the
+    canonical (7, 7, 3, 64) kernel so checkpoints and the torch importer
+    are unaffected.
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis: str | None = None
+    stem_mode: str = "conv7"  # conv7 | s2d
+
+    @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_axis=self.bn_axis)
-        x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
+        if self.stem_mode == "s2d":
+            x = StemS2D(name="stem", **kw)(x, train)
+        else:
+            x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

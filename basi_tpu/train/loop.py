@@ -29,6 +29,8 @@ class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.model = create_model(cfg.model)
+        if cfg.train.remat:
+            self.model = self.model.clone(remat=True)
         n_dev = cfg.parallel.num_devices or len(jax.devices())
         self.mesh = (
             make_mesh(n_dev, cfg.parallel.data_axis) if n_dev > 1 else None
