@@ -109,7 +109,7 @@ class MaskFeatureHead(nn.Module):
                 p = jnp.concatenate([p, coord_features(n, h, w, p.dtype)], axis=-1)
             f = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                         name=f"level{i}", **kw)(p)
-            f = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            f = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=self.param_dtype, name=f"gn{i}")(f)
             f = nn.relu(f)
             f = resize_bilinear(f, base_hw)
@@ -145,7 +145,7 @@ class InstanceKernelHead(nn.Module):
         for i in range(self.tower_depth):
             x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                         name=f"tower{i}", **kw)(x)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=self.param_dtype, name=f"gn{i}")(x)
             x = nn.relu(x)
         scores = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
