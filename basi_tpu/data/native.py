@@ -102,6 +102,52 @@ def build_native(verbose: bool = False) -> str | None:
             return None
 
 
+def decode_benchmark(n: int = 64, size: int = 512, threads: int = 0) -> dict:
+    """Measure host decode throughput (SURVEY §7 hard part #4: at 1k
+    imgs/s/chip the host JPEG decode becomes the bottleneck)."""
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from PIL import Image
+
+    threads = threads or (os.cpu_count() or 1)
+    d = tempfile.mkdtemp()
+    rng = np.random.RandomState(0)
+    img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    path = os.path.join(d, "bench.jpg")
+    Image.fromarray(img).save(path, quality=90)
+
+    results = {}
+    for name, dec in (("native", get_decoder("native")),
+                      ("pil", PILDecoder())):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            dec.decode_letterbox(path, size)
+        dt = time.perf_counter() - t0
+        results[f"{name}_imgs_per_s"] = round(n / dt, 1)
+
+    # native threaded batch API
+    lib = NativeDecoder().lib
+    import ctypes
+
+    paths = (ctypes.c_char_p * n)(*([path.encode()] * n))
+    out = np.zeros((n, size, size, 3), np.uint8)
+    hw = np.zeros((n, 2), np.int32)
+    t0 = time.perf_counter()
+    fails = lib.basi_decode_batch(
+        paths, n, size, 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads,
+    )
+    dt = time.perf_counter() - t0
+    assert fails == 0
+    results[f"native_batch_t{threads}_imgs_per_s"] = round(n / dt, 1)
+    return results
+
+
 def get_decoder(backend: str = "auto"):
     if backend in ("auto", "native"):
         path = build_native()
@@ -113,3 +159,9 @@ def get_decoder(backend: str = "auto"):
         if backend == "native":
             raise RuntimeError("native decoder requested but unavailable")
     return PILDecoder()
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(decode_benchmark()))

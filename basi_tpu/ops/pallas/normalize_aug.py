@@ -39,35 +39,36 @@ def normalize_and_flip(
     inv_std = (1.0 / std_a).reshape(1, 1, 1, c)
     neg_mean = (-mean_a / std_a).reshape(1, 1, 1, c)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, flip: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, c), lambda i, flip: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, c), lambda i, flip: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i, flip: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
+    # The horizontal flip happens in XLA on the raw uint8 bytes BEFORE the
+    # kernel (1/4 the traffic of flipping floats, and Mosaic lowers neither
+    # lax.rev nor a cheap in-kernel reverse). The Pallas kernel fuses the
+    # expensive part: u8 -> f32 -> (x/255 - mean)/std in one VMEM pass.
+    sel = (flip > 0).reshape(-1, 1, 1, 1)
+    imgs = jnp.where(sel, jnp.flip(images_u8, axis=2), images_u8)
 
-    def kernel(flip_pref, img_ref, inv_std_ref, neg_mean_ref, out_ref):
-        i = pl.program_id(0)
-        x = img_ref[0].astype(jnp.float32) * (1.0 / 255.0)
+    def kernel(img_ref, inv_std_ref, neg_mean_ref, out_ref):
+        # Mosaic has no direct u8->f32 cast; hop through i32 (measured on
+        # v5e: u8->i32->f32 lowers fine, u8->f32 and u8->u32->f32 do not).
+        x = img_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
         x = x * inv_std_ref[0, 0] + neg_mean_ref[0, 0]
-        flipped = jax.lax.rev(x, dimensions=(1,))
-        x = jnp.where(flip_pref[i] > 0, flipped, x)
         out_ref[0] = x.astype(out_ref.dtype)
 
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), out_dtype),
         interpret=interpret,
-    )(flip.astype(jnp.int32), images_u8, inv_std, neg_mean)
+    )(imgs, inv_std, neg_mean)
 
 
 def normalize_and_flip_reference(

@@ -1,0 +1,128 @@
+"""Production serving: fixed-batch, scan-amortized predictor.
+
+The reference has no serving story (research scripts); this module is the
+deployment-facing API the north star's "production serving" goal implies:
+
+  * fixed batch + fixed shapes -> one compiled program, reused forever
+  * requests queue on the host; a worker thread packs them into batches
+    (padding the tail) and runs the jitted pipeline
+  * per-dispatch relay/driver overhead amortizes over the whole batch; for
+    bulk/offline scoring, ``predict_many`` scans multiple batches inside
+    ONE program execution (see bench.py methodology notes)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basi_tpu.config import Config
+from basi_tpu.infer import Inferencer
+
+
+@dataclass
+class Prediction:
+    masks: np.ndarray  # (K, H/4, W/4) probabilities
+    scores: np.ndarray  # (K,)
+
+
+class BatchedPredictor:
+    """Thread-safe request batcher over a compiled BASI pipeline."""
+
+    def __init__(self, cfg: Config, checkpoint: str = "",
+                 max_wait_ms: float = 5.0):
+        self.inf = Inferencer(cfg, checkpoint=checkpoint)
+        self.batch = cfg.infer.batch_size
+        self.size = cfg.model.image_size
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def predict(self, image_u8: np.ndarray) -> Prediction:
+        """Blocking single-image API; batching happens transparently."""
+        if image_u8.shape != (self.size, self.size, 3):
+            raise ValueError(f"expected ({self.size},{self.size},3) uint8")
+        done = threading.Event()
+        slot: list = [None]
+        self._q.put((image_u8, slot, done))
+        done.wait()
+        if isinstance(slot[0], BaseException):
+            raise slot[0]
+        return slot[0]
+
+    def predict_many(self, images_u8: np.ndarray, scan_batches: int = 8):
+        """Bulk scoring: (N, H, W, 3) -> list[Prediction]. N is padded up to
+        a multiple of batch*scan_batches and processed with one program
+        execution per scan group."""
+        n = len(images_u8)
+        group = self.batch * scan_batches
+        padded = -(-n // group) * group
+        buf = np.zeros((padded, self.size, self.size, 3), np.uint8)
+        buf[:n] = images_u8
+        batches = jnp.asarray(buf.reshape(-1, self.batch, self.size, self.size, 3))
+
+        run = self.inf.run_fn
+
+        @jax.jit
+        def run_scan(params, stats, group_batches):
+            def body(_, b):
+                masks, scores, _ = run(params, stats, b)
+                return 0.0, (masks, scores)
+            _, out = jax.lax.scan(body, 0.0, group_batches)
+            return out
+
+        preds = []
+        for g in range(padded // group):
+            masks, scores = run_scan(
+                self.inf.params, self.inf.batch_stats,
+                batches[g * scan_batches:(g + 1) * scan_batches])
+            masks = np.asarray(jax.device_get(masks)).reshape(
+                group, *masks.shape[2:])
+            scores = np.asarray(jax.device_get(scores)).reshape(group, -1)
+            preds.extend(Prediction(m, s) for m, s in zip(masks, scores))
+        return preds[:n]
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = []
+            try:
+                items.append(self._q.get(timeout=0.1))
+            except queue.Empty:
+                continue
+            # Opportunistically fill the batch within the latency budget.
+            import time
+
+            deadline = time.perf_counter() + self.max_wait
+            while len(items) < self.batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            buf = np.zeros((self.batch, self.size, self.size, 3), np.uint8)
+            for i, (img, _, _) in enumerate(items):
+                buf[i] = img
+            try:
+                masks, scores, _ = self.inf.predict_batch(jnp.asarray(buf))
+                masks = np.asarray(jax.device_get(masks))
+                scores = np.asarray(jax.device_get(scores))
+                for i, (_, slot, done) in enumerate(items):
+                    slot[0] = Prediction(masks[i], scores[i])
+                    done.set()
+            except BaseException as e:  # propagate to callers
+                for _, slot, done in items:
+                    slot[0] = e
+                    done.set()
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=2)

@@ -36,8 +36,13 @@ def make_train_step(
     mesh: Mesh | None = None,
     data_axis: str = "data",
     donate: bool = True,
+    use_pallas: bool | None = None,
 ) -> Callable[[TrainState, dict[str, jnp.ndarray]], tuple[TrainState, dict[str, Any]]]:
-    """Build the jitted train step. ``mesh=None`` -> single-device jit."""
+    """Build the jitted train step. ``mesh=None`` -> single-device jit.
+
+    ``use_pallas``: None = auto (Pallas ingest kernel on TPU, XLA reference
+    elsewhere); pass an explicit bool to override (debug/bisection).
+    """
 
     mean = tuple(cfg_data.mean)
     std = tuple(cfg_data.std)
@@ -68,9 +73,13 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    # The fused Pallas ingest kernel needs a real TPU; elsewhere (CPU tests,
-    # virtual meshes) use the bit-identical XLA reference implementation.
-    use_pallas = jax.default_backend() == "tpu"
+    # Default OFF: the Pallas ingest kernel compiles standalone on v5e but
+    # embedded in the full train program the remote compile helper crashes
+    # (XLA picks a non-default layout for the uint8 batch that Mosaic
+    # rejects). The XLA reference path fuses u8->normalize into the first
+    # conv anyway; revisit with explicit layout pinning.
+    if use_pallas is None:
+        use_pallas = False
 
     def local_step(state: TrainState, batch: dict[str, jnp.ndarray], shard_idx):
         rng = jax.random.fold_in(state.rng, state.step)
