@@ -85,3 +85,24 @@ def test_select_instances_shapes_and_empty(rng):
     assert float(s[0]) > 0.5
     got_mask = np.asarray(masks[0]) > 0.5
     np.testing.assert_array_equal(got_mask, blob.astype(bool))
+
+
+def test_select_from_kernels_matches_select_instances(rng):
+    """The bandwidth-lean inference path must agree with the full path."""
+    import jax.numpy as jnp
+    from basi_tpu.ops.nms import select_instances_from_kernels
+
+    h = w = 24
+    e, c = 8, 12
+    mask_feats = jnp.asarray(rng.randn(h, w, e).astype(np.float32))
+    kernels = jnp.asarray(rng.randn(c, e).astype(np.float32))
+    scores = jnp.asarray(rng.randn(c).astype(np.float32))
+    mask_logits = jnp.einsum("hwe,ke->khw", mask_feats, kernels)
+
+    m1, s1 = select_instances(mask_logits, scores, num_slots=4,
+                              score_threshold=0.0, pre_top_k=6)
+    m2, s2 = select_instances_from_kernels(mask_feats, kernels, scores,
+                                           num_slots=4, score_threshold=0.0,
+                                           pre_top_k=6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
