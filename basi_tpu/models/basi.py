@@ -77,7 +77,8 @@ class BASINet(nn.Module):
 
         pyramid = FPNDecoder(self.fpn_channels, name="fpn", **kw)(feats)
 
-        sal_logits, sal_aux = SaliencyHead(name="saliency", **kw)(pyramid)
+        sal_logits, sal_aux = SaliencyHead(name="saliency", **kw)(
+            pyramid, with_aux=train or with_candidates)
         mask_feats = MaskFeatureHead(
             embed_dim=self.mask_channels, name="maskfeat", **kw
         )(pyramid)

@@ -64,7 +64,12 @@ class SaliencyHead(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pyramid: Sequence[jnp.ndarray]) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+    def __call__(self, pyramid: Sequence[jnp.ndarray],
+                 with_aux: bool = True) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+        """``with_aux=False`` skips the per-level deep-supervision outputs —
+        they only feed the training loss, so inference saves 4 convs + 4
+        resizes. Params are created regardless (init with the default) so
+        both modes share one checkpoint structure."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         base_hw = pyramid[0].shape[1:3]  # /4 resolution
         level_logits = []
@@ -73,10 +78,15 @@ class SaliencyHead(nn.Module):
             f = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                         name=f"tower{i}", **kw)(p)
             f = nn.relu(f)
-            logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                             kernel_init=_pred_kernel_init,
-                             name=f"out{i}", **kw)(f)
-            level_logits.append(resize_bilinear(logits, base_hw))
+            out_conv = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                               kernel_init=_pred_kernel_init,
+                               name=f"out{i}", **kw)
+            if with_aux:
+                level_logits.append(resize_bilinear(out_conv(f), base_hw))
+            else:
+                # call on a 1x1 slice so the params exist (flax creates
+                # params only on call) at negligible compute
+                _ = out_conv(f[:, :1, :1, :])
             fused_feats.append(resize_bilinear(f, base_hw))
         fused = jnp.concatenate(fused_feats, axis=-1)
         fused_logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],

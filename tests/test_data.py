@@ -117,3 +117,23 @@ def test_scale_jitter_zoom_out_pads(rng):
     # zoomed out to half size: content occupies ~quarter area, rest zero
     frac = float(np.asarray(masks2).mean())
     assert 0.2 < frac < 0.35, frac
+
+
+def test_folder_dataset_per_instance_pngs(tmp_path):
+    from PIL import Image
+
+    os.makedirs(tmp_path / "images")
+    os.makedirs(tmp_path / "masks" / "b")
+    rng = np.random.RandomState(1)
+    img = (rng.rand(60, 60, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "images" / "b.jpg")
+    for k in range(3):
+        m = np.zeros((60, 60), np.uint8)
+        m[k * 15:k * 15 + 12, 10:50] = 255
+        Image.fromarray(m).save(tmp_path / "masks" / "b" / f"{k}.png")
+
+    ds = FolderDataset(str(tmp_path), image_size=64, max_instances=4,
+                       decode_backend="pil")
+    s = ds.get(0)
+    assert s.valid.tolist() == [1, 1, 1, 0]
+    assert all(s.masks[k].sum() > 0 for k in range(3))
