@@ -1,0 +1,132 @@
+"""TPU-native connected components over binary saliency maps.
+
+SURVEY §2.8 candidate (c): the reference may derive instances as connected
+components of a boundary-aware saliency map. CPU union-find is hostile to
+XLA, so this is the classic iterative label-propagation formulation — fully
+static shapes, one ``lax.while_loop`` of 3x3 min-pool steps:
+
+  1. seed every foreground pixel with a unique label (its linear index)
+  2. repeatedly take the min label over the 4/8-neighborhood (masked to
+     foreground) until no label changes (while_loop with a fixed cap)
+  3. labels converge to the component's minimum linear index
+
+Convergence needs O(component diameter) iterations; at /4 resolution
+(128 x 128) the cap of H+W steps is exact for any shape, and the early-exit
+predicate stops as soon as labels are stable (typically ~tens of steps).
+
+``extract_instances`` then packs the K largest components into the fixed
+instance-slot contract used everywhere else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(2 ** 30)
+
+
+def label_components(binary: jnp.ndarray, connectivity: int = 4,
+                     max_iters: int | None = None) -> jnp.ndarray:
+    """Label connected components of a binary mask (H, W) -> int32 labels.
+
+    Background pixels get -1; each component's label is the minimum linear
+    index it contains (deterministic, order-free).
+    """
+    h, w = binary.shape
+    fg = binary > 0.5
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    labels = jnp.where(fg, idx, _INF)
+    cap = max_iters if max_iters is not None else h + w
+
+    if connectivity == 4:
+        window = jnp.asarray(
+            [[0, 1, 0], [1, 1, 1], [0, 1, 0]], jnp.int32)
+    else:
+        window = jnp.ones((3, 3), jnp.int32)
+
+    def min_pool(x):
+        # reduce_window min over the 3x3 neighborhood, masked by ``window``:
+        # implement as shifted mins to honor 4-connectivity exactly.
+        big = jnp.full_like(x, _INF)
+        out = x
+        shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if connectivity == 8:
+            shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        for dy, dx in shifts:
+            shifted = jnp.roll(x, (dy, dx), axis=(0, 1))
+            # zero-pad semantics: rolled-in rows/cols are invalid
+            if dy == -1:
+                shifted = shifted.at[-1, :].set(_INF)
+            elif dy == 1:
+                shifted = shifted.at[0, :].set(_INF)
+            if dx == -1:
+                shifted = shifted.at[:, -1].set(_INF)
+            elif dx == 1:
+                shifted = shifted.at[:, 0].set(_INF)
+            out = jnp.minimum(out, shifted)
+        return jnp.where(fg, out, big)
+
+    def compress(x):
+        # Pointer jumping: a pixel's label is a linear index; hop to THAT
+        # pixel's label (path compression). Turns worst-case convergence
+        # from O(path length) into O(log path length) when alternated with
+        # the neighborhood min — a serpentine component converges in ~10
+        # rounds instead of ~500.
+        safe = jnp.clip(x.reshape(-1), 0, h * w - 1)
+        hopped = x.reshape(-1)[safe].reshape(h, w)
+        hopped = jnp.where(x < _INF, jnp.minimum(x, hopped), x)
+        return jnp.where(fg, hopped, jnp.full_like(x, _INF))
+
+    def cond(state):
+        labels, prev_changed, it = state
+        return jnp.logical_and(prev_changed, it < cap)
+
+    def body(state):
+        labels, _, it = state
+        new = compress(min_pool(labels))
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(fg, labels, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slots", "connectivity"))
+def extract_instances(saliency_prob: jnp.ndarray, num_slots: int = 20,
+                      threshold: float = 0.5, min_area: int = 16,
+                      connectivity: int = 4):
+    """Connected-component instance extraction (mechanism (c)).
+
+    saliency_prob: (H, W) probabilities. Returns (masks (K, H, W) 0/1,
+    scores (K,)) where score = mean saliency inside the component and
+    components are ordered by area. Empty slots are zero.
+    """
+    h, w = saliency_prob.shape
+    binary = saliency_prob > threshold
+    labels = label_components(binary.astype(jnp.float32),
+                              connectivity=connectivity)
+
+    flat = labels.reshape(-1)
+    probs = saliency_prob.reshape(-1).astype(jnp.float32)
+    valid = flat >= 0
+    # Root-pixel trick: a component's label IS one of its pixel indices, so
+    # scatter-add areas/saliency onto that root pixel's slot — no dynamic
+    # number of components anywhere.
+    roots = jnp.where(valid, flat, 0)
+    ones = valid.astype(jnp.float32)
+    area = jnp.zeros((h * w,), jnp.float32).at[roots].add(ones)
+    sal_sum = jnp.zeros((h * w,), jnp.float32).at[roots].add(probs * ones)
+    is_root = jnp.zeros((h * w,), jnp.bool_).at[roots].max(valid)
+    area = jnp.where(is_root, area, 0.0)
+    area = jnp.where(area >= min_area, area, 0.0)
+
+    _, top_roots = jax.lax.top_k(area, num_slots)
+    top_area = area[top_roots]
+    scores = jnp.where(
+        top_area > 0, sal_sum[top_roots] / jnp.maximum(top_area, 1.0), 0.0)
+    masks = (flat[None, :] == top_roots[:, None]) & (top_area[:, None] > 0)
+    return masks.reshape(num_slots, h, w).astype(jnp.float32), scores
