@@ -150,19 +150,35 @@ class Inferencer:
             )):
                 if max_batches and bi >= max_batches:
                     break
-                masks, scores, _ = self.predict_batch(batch["image"])
+                masks, scores, sal = self.predict_batch(batch["image"])
                 iou = self._iou_vs_gt(masks, jnp.asarray(batch["masks"]))
-                pending.append((bi, batch, masks, scores, iou))
-            for bi, batch, masks, scores, iou in pending:
+                pending.append((bi, batch, masks, scores, iou, sal))
+            sal_mae, sal_maxf = [], []
+            for bi, batch, masks, scores, iou, sal in pending:
                 iou_h = np.asarray(jax.device_get(iou))
                 scores_h = np.asarray(jax.device_get(scores))
                 for i in range(len(batch["valid"])):
                     acc.add(scores_h[i], iou_h[i], batch["valid"][i])
                     n_img += 1
+                # saliency-branch metrics (MAE / max-F) vs the GT union,
+                # at the saliency map's /4 resolution
+                from basi_tpu.evals.saliency import f_measure, mae
+
+                gm = jnp.asarray(batch["masks"]).astype(jnp.float32)
+                gv = jnp.asarray(batch["valid"]).astype(jnp.float32)
+                union = jnp.max(gm * gv[..., None, None], axis=1)
+                sh, sw = sal.shape[1:3]
+                fh, fw = union.shape[1] // sh, union.shape[2] // sw
+                union_small = jnp.max(
+                    union.reshape(-1, sh, fh, sw, fw), axis=(2, 4))
+                prob = jax.nn.sigmoid(sal[..., 0].astype(jnp.float32))
+                sal_mae.append(float(jax.device_get(mae(prob, union_small))))
+                maxf, _ = f_measure(prob, union_small, num_thresholds=64)
+                sal_maxf.append(float(jax.device_get(maxf)))
             if pending:
                 total_ms = (_time.perf_counter() - t0) * 1000
                 t_ms = [total_ms / len(pending)]
-            for bi, batch, masks, scores, iou in pending:
+            for bi, batch, masks, scores, iou, _sal in pending:
                 if cfg.infer.save_png:
                     scores_h = np.asarray(jax.device_get(scores))
                     # Reference behavior: masks saved at ORIGINAL image
@@ -186,6 +202,9 @@ class Inferencer:
                             cfg.infer.score_threshold,
                         )
         metrics = acc.ap()
+        if n_img:
+            metrics["saliency_mae"] = round(float(np.mean(sal_mae)), 4)
+            metrics["saliency_maxF"] = round(float(np.mean(sal_maxf)), 4)
         if t_ms:
             per_batch = float(np.mean(t_ms))
             metrics["infer_ms_per_batch"] = round(per_batch, 2)
