@@ -9,8 +9,6 @@ is gone entirely.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,7 @@ from basi_tpu.ops.pallas.upsample_sigmoid import (
     upsample_sigmoid_reference,
 )
 from basi_tpu.utils.logging import MetricLogger, save_mask_pngs
-from basi_tpu.utils.profiling import StepTimer, maybe_trace
+from basi_tpu.utils.profiling import maybe_trace
 
 
 class Inferencer:

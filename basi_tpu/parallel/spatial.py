@@ -15,8 +15,6 @@ because the shardings are declared, not hand-implemented.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -9,8 +9,6 @@ the reference's per-epoch eval + ``torch.save``.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from basi_tpu.config import Config
@@ -79,13 +77,21 @@ class Trainer:
         start_step = int(jax.device_get(self.state.step))
         start_epoch = start_step // self.steps_per_epoch
         last_metrics: dict = {}
+        host_step = start_step
         with maybe_trace(cfg.profile, cfg.profile_dir):
             for epoch in range(start_epoch, cfg.train.epochs):
                 for batch in self.feed.epoch(epoch):
                     self.state, metrics = self.train_step(self.state, batch)
-                    step = int(jax.device_get(self.state.step))
+                    # Track the step on the host: fetching state.step would
+                    # force a device sync EVERY step (~30 ms on the axon
+                    # relay), serializing the pipeline.
+                    host_step += 1
+                    step = host_step
                     if step % cfg.train.log_every == 0 or step == self.max_steps:
-                        jax.block_until_ready(metrics["loss"])
+                        # fetch BEFORE marking time: device_get is the only
+                        # reliable sync on this backend (see bench.py note)
+                        fetched = {k: float(jax.device_get(v))
+                                   for k, v in metrics.items()}
                         ms = self.timer.mark()
                         lr = float(self.schedule(step))
                         rec = {
@@ -97,8 +103,7 @@ class Trainer:
                                 / max(ms / 1000.0, 1e-9), 1)
                             if ms > 0 else 0.0,
                         }
-                        rec.update({k: float(jax.device_get(v))
-                                    for k, v in metrics.items()})
+                        rec.update(fetched)
                         self.logger.log(rec, prefix="[train]")
                         last_metrics = rec
                     if (self.ckpt is not None

@@ -10,7 +10,6 @@ observability.
 from __future__ import annotations
 
 import json
-import sys
 import time
 from typing import Any, IO
 

@@ -53,9 +53,12 @@ def _bench_infer(batch_size: int = 8, iters: int = 32, warmup: int = 5) -> dict:
         return total
 
     float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
-    t0 = time.perf_counter()
-    float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):  # best-of-2: the relay adds ~±5% run-to-run noise
+        t0 = time.perf_counter()
+        float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
 
     imgs_per_s = batch_size * k / dt
     return {
