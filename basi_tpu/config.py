@@ -22,7 +22,11 @@ class ModelConfig:
     num_slots: int = 20  # fixed instance capacity K after NMS
     image_size: int = 512  # square input resolution (SURVEY §2.2)
     saliency_levels: int = 4  # deep-supervision outputs P2..P5
-    stem_mode: str = "s2d"  # s2d (MXU-friendly, bit-exact) | conv7
+    # conv7 measured faster END-TO-END on v5e (826 vs 798 imgs/s): the
+    # space-to-depth rewrite wins the stem conv but loses more in input
+    # layout copies. s2d stays available (bit-exact, tested) — revisit if
+    # the ingest step learns to emit s2d layout directly.
+    stem_mode: str = "conv7"  # conv7 | s2d
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     param_dtype: str = "float32"
 
