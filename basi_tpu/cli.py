@@ -61,6 +61,18 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Convert a Trainer checkpoint to a bare params export for serving."""
+    from basi_tpu.infer import Inferencer
+    from basi_tpu.utils.checkpoint import export_params
+
+    cfg = _build_cfg(args)
+    inf = Inferencer(cfg, checkpoint=args.checkpoint)
+    export_params(args.out, inf.params, inf.batch_stats)
+    print(json.dumps({"exported": args.out}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
@@ -81,6 +93,12 @@ def main(argv=None) -> int:
         p_inf.add_argument("--checkpoint", default="", help="orbax params dir")
         p_inf.add_argument("--max-batches", type=int, default=0)
         p_inf.set_defaults(fn=cmd_infer)
+
+    p_exp = sub.add_parser("export", help="trainer ckpt -> serving params")
+    _add_common(p_exp)
+    p_exp.add_argument("--checkpoint", required=True)
+    p_exp.add_argument("--out", required=True)
+    p_exp.set_defaults(fn=cmd_export)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.add_argument("--mode", default="infer", choices=["infer", "train"])

@@ -33,20 +33,38 @@ class Inferencer:
         self.model = model or create_model(cfg.model)
         if params is None:
             if checkpoint:
-                from basi_tpu.utils.checkpoint import load_params
-
-                tmpl_p, tmpl_b = init_model(self.model, cfg.model.image_size)
-                restored = load_params(
-                    checkpoint, {"params": tmpl_p, "batch_stats": tmpl_b}
-                )
-                params = restored["params"]
-                batch_stats = restored["batch_stats"]
+                params, batch_stats = self._load_checkpoint(checkpoint)
             else:
                 params, batch_stats = init_model(self.model, cfg.model.image_size)
         self.params = params
         self.batch_stats = batch_stats or {}
         self._use_pallas = jax.default_backend() == "tpu"
         self._build()
+
+    def _load_checkpoint(self, checkpoint: str):
+        """Load either a Trainer checkpoint dir (step-numbered TrainState
+        saves — the reference's per-epoch train checkpoints) or a bare
+        params export (utils.checkpoint.export_params)."""
+        import os
+
+        cfg = self.cfg
+        tmpl_p, tmpl_b = init_model(self.model, cfg.model.image_size)
+        has_steps = os.path.isdir(checkpoint) and any(
+            d.isdigit() for d in os.listdir(checkpoint))
+        if has_steps:
+            from basi_tpu.train.state import create_train_state, make_optimizer
+            from basi_tpu.utils.checkpoint import CheckpointManager
+
+            model = self.model
+            template = create_train_state(model, cfg.model, cfg.train, 1)
+            mgr = CheckpointManager(checkpoint)
+            state = mgr.restore(template)
+            return state.params, state.batch_stats
+        from basi_tpu.utils.checkpoint import load_params
+
+        restored = load_params(
+            checkpoint, {"params": tmpl_p, "batch_stats": tmpl_b})
+        return restored["params"], restored["batch_stats"]
 
     def _build(self):
         cfg = self.cfg

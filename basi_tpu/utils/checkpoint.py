@@ -69,4 +69,4 @@ def load_params(path: str, template: Any | None = None):
     ckptr = ocp.StandardCheckpointer()
     if template is None:
         return ckptr.restore(os.path.abspath(path))
-    return ckptr.restore(os.path.abspath(path), args=ocp.args.StandardRestore(template))
+    return ckptr.restore(os.path.abspath(path), template)

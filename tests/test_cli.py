@@ -51,3 +51,18 @@ def test_cli_bad_override():
 def test_cli_preset_unknown():
     with pytest.raises(KeyError):
         main(["train", "--preset", "definitely-not-a-preset"])
+
+
+def test_cli_export_roundtrip(tmp_path):
+    rc = main(["train", *TINY,
+               "--set", f"train.checkpoint_dir={tmp_path}/ckpt",
+               "--set", "train.epochs=1"])
+    assert rc == 0
+    rc = main(["export", *TINY,
+               "--checkpoint", f"{tmp_path}/ckpt",
+               "--out", f"{tmp_path}/exported"])
+    assert rc == 0
+    rc = main(["infer", *TINY,
+               "--checkpoint", f"{tmp_path}/exported",
+               "--max-batches", "1"])
+    assert rc == 0
