@@ -86,3 +86,20 @@ def test_resume_continues(trained):
 
     assert int(jax.device_get(t2.state.step)) == int(
         jax.device_get(trainer.state.step))
+
+
+def test_infer_greedy_nms_config():
+    """The greedy-NMS (reference-parity) path must run under the jitted
+    inference program too."""
+    import dataclasses
+
+    from basi_tpu.infer import Inferencer
+
+    cfg = tiny_config(batch_size=2)
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, nms="greedy", batch_size=2))
+    inf = Inferencer(cfg)
+    rng2 = np.random.RandomState(5)
+    imgs = (rng2.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    masks, scores, sal = inf.predict_batch(imgs)
+    assert masks.shape[0] == 2 and np.isfinite(np.asarray(scores)).all()
