@@ -27,6 +27,13 @@ def make_mesh(
     """Build a (data[, spatial]) mesh over the available devices."""
     devices = jax.devices()
     if num_devices:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are visible: {devices}. For a "
+                f"virtual multi-device test mesh set jax_platforms=cpu and "
+                f"jax_num_cpu_devices={num_devices} before backend init."
+            )
         devices = devices[:num_devices]
     n = len(devices)
     if spatial_axis and spatial_shards > 1:
