@@ -158,8 +158,15 @@ def _preset_pr1_cpu_infer() -> Config:
 
 
 def _preset_val_ap() -> Config:
-    """Batch-8 inference over ILSO/SOC val split, AP parity check."""
+    """Batch-8 inference over ILSO/SOC val split, AP parity check.
+
+    stem_mode='s2d': inference does space-to-depth on the raw uint8 bytes
+    at ingest (bit-exact vs conv7, same checkpoint params; measured +16%
+    imgs/s on v5e). Training presets keep conv7 — the augmentation
+    pipeline needs the raw 3-channel image.
+    """
     return Config(
+        model=ModelConfig(stem_mode="s2d"),
         data=DataConfig(batch_size=8, dataset="ilso", split="val"),
         infer=InferConfig(batch_size=8),
     )

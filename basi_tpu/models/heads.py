@@ -78,8 +78,12 @@ class SaliencyHead(nn.Module):
             f = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                         name=f"tower{i}", **kw)(p)
             f = nn.relu(f)
-            out_conv = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                               kernel_init=_pred_kernel_init,
+            # 1x1 prediction convs (HED/DSS-style side outputs): spatial
+            # mixing already happened in the 3x3 towers, and a 1-channel
+            # 3x3 output conv is MXU-pathological — its runtime scales with
+            # the K=9*C contraction regardless of the single output lane
+            # (measured 1.5 TFLOP/s, ~0.4 ms/batch-8 on v5e for the fuse).
+            out_conv = nn.Conv(1, (1, 1), kernel_init=_pred_kernel_init,
                                name=f"out{i}", **kw)
             if with_aux:
                 level_logits.append(resize_bilinear(out_conv(f), base_hw))
@@ -89,8 +93,7 @@ class SaliencyHead(nn.Module):
                 _ = out_conv(f[:, :1, :1, :])
             fused_feats.append(resize_bilinear(f, base_hw))
         fused = jnp.concatenate(fused_feats, axis=-1)
-        fused_logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                               kernel_init=_pred_kernel_init,
+        fused_logits = nn.Conv(1, (1, 1), kernel_init=_pred_kernel_init,
                                name="fuse", **kw)(fused)
         return fused_logits, level_logits
 

@@ -29,11 +29,15 @@ def mask_iou_matrix(masks_a: jnp.ndarray, masks_b: jnp.ndarray) -> jnp.ndarray:
 
     masks_a: (A, H, W), masks_b: (B, H, W) -> (A, B). One MXU matmul.
     """
-    a = masks_a.reshape(masks_a.shape[0], -1).astype(jnp.float32)
-    b = masks_b.reshape(masks_b.shape[0], -1).astype(jnp.float32)
-    inter = a @ b.T
-    area_a = jnp.sum(a, axis=1, keepdims=True)
-    area_b = jnp.sum(b, axis=1, keepdims=True).T
+    # Matmul/sums run in the input dtype with f32 ACCUMULATION: for bf16
+    # inference this halves the HBM reads of the (K, HW) operands (the
+    # dominant cost — the FLOPs are trivial for the MXU) and is exact for
+    # binary masks; the IoU itself is computed in f32.
+    a = masks_a.reshape(masks_a.shape[0], -1)
+    b = masks_b.reshape(masks_b.shape[0], -1)
+    inter = jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
+    area_a = jnp.sum(a, axis=1, keepdims=True, dtype=jnp.float32)
+    area_b = jnp.sum(b, axis=1, keepdims=True, dtype=jnp.float32).T
     union = area_a + area_b - inter
     return inter / jnp.maximum(union, _EPS)
 
@@ -116,11 +120,13 @@ def select_instances_from_kernels(
     """
     probs = jax.nn.sigmoid(cell_scores.astype(jnp.float32))
     obj_scores, top_idx = jax.lax.top_k(probs, pre_top_k)
+    # Einsum in the model's compute dtype (f32 accumulation on the MXU);
+    # the (K, H, W) candidate tensor stays bf16 under bf16 inference —
+    # halving the dominant HBM traffic of the selection path.
     top_logits = jnp.einsum(
-        "hwe,ke->khw", mask_feats.astype(jnp.float32),
-        kernels[top_idx].astype(jnp.float32),
+        "hwe,ke->khw", mask_feats, kernels[top_idx],
         preferred_element_type=jnp.float32,
-    )
+    ).astype(mask_feats.dtype)
     return _select_from_logits(
         top_logits, obj_scores, num_slots, score_threshold, mask_threshold,
         nms, nms_sigma, nms_iou_threshold,
@@ -129,11 +135,17 @@ def select_instances_from_kernels(
 
 def _select_from_logits(top_logits, obj_scores, num_slots, score_threshold,
                         mask_threshold, nms, nms_sigma, nms_iou_threshold):
-    """Shared tail: quality rescoring + NMS + slot packing (static shapes)."""
-    top_probs = jax.nn.sigmoid(top_logits.astype(jnp.float32))
-    top_binary = (top_probs > mask_threshold).astype(jnp.float32)
-    area = jnp.sum(top_binary, axis=(-2, -1))
-    quality = jnp.sum(top_probs * top_binary, axis=(-2, -1)) / jnp.maximum(area, _EPS)
+    """Shared tail: quality rescoring + NMS + slot packing (static shapes).
+
+    Per-pixel tensors stay in the incoming compute dtype (bf16 under bf16
+    inference — bandwidth, not precision, dominates here); all reductions
+    and the scores accumulate/compare in f32.
+    """
+    top_probs = jax.nn.sigmoid(top_logits)
+    top_binary = (top_probs > mask_threshold).astype(top_probs.dtype)
+    area = jnp.sum(top_binary, axis=(-2, -1), dtype=jnp.float32)
+    quality = jnp.sum(top_probs * top_binary, axis=(-2, -1),
+                      dtype=jnp.float32) / jnp.maximum(area, _EPS)
     top_scores = obj_scores * quality * (area > 0)
     top_scores = jnp.where(top_scores >= score_threshold, top_scores, 0.0)
 

@@ -29,6 +29,48 @@ def test_s2d_kernel_conv_equivalence(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_pre_s2d_input_matches_internal(rng):
+    """Feeding an already-s2d input (ingest fast path, C=12) must equal
+    feeding the raw image (internal s2d, C=3) with the same params."""
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    ms = ResNet50(stage_sizes=(1, 1, 1, 1), stem_mode="s2d")
+    v = ms.init(jax.random.PRNGKey(0), x, False)
+    out_raw = ms.apply(v, x, False)
+    out_pre = ms.apply(v, space_to_depth(x, 2), False)
+    for a, b in zip(out_raw, out_pre):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_inferencer_s2d_matches_conv7(rng):
+    """End-to-end: Inferencer with stem_mode=s2d (ingest s2d on uint8) must
+    reproduce the conv7 Inferencer's masks/scores with shared params."""
+    from basi_tpu.config import get_config
+    from basi_tpu.infer import Inferencer
+    from basi_tpu.models.basi import create_model, init_model
+
+    overrides = [
+        "model.backbone=resnet_tiny", "model.image_size=64",
+        "data.image_size=64", "infer.batch_size=2", "infer.dtype=float32",
+        "data.dataset=synthetic",
+    ]
+    cfg7 = get_config("val_v4-8_ap", overrides + ["model.stem_mode=conv7"])
+    cfgs = get_config("val_v4-8_ap", overrides + ["model.stem_mode=s2d"])
+    m7 = create_model(cfg7.model)
+    params, bstats = init_model(m7, 64, seed=0)
+    inf7 = Inferencer(cfg7, params=params, batch_stats=bstats)
+    infs = Inferencer(cfgs, params=params, batch_stats=bstats)
+    img = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    m_a, s_a, sal_a = inf7.predict_batch(img)
+    m_b, s_b, sal_b = infs.predict_batch(img)
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_b),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sal_a), np.asarray(sal_b),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_s2d_backbone_matches_conv7(rng):
     """Same params, both stem modes -> identical features."""
     x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))

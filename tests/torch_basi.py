@@ -49,8 +49,8 @@ class SaliencyHead(nn.Module):
         super().__init__()
         for i in range(levels):
             setattr(self, f"tower{i}", nn.Conv2d(ch_in, ch, 3, padding=1))
-            setattr(self, f"out{i}", nn.Conv2d(ch, 1, 3, padding=1))
-        self.fuse = nn.Conv2d(ch * levels, 1, 3, padding=1)
+            setattr(self, f"out{i}", nn.Conv2d(ch, 1, 1))
+        self.fuse = nn.Conv2d(ch * levels, 1, 1)
         self.levels = levels
 
     def forward(self, pyramid):
