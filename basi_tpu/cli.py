@@ -63,10 +63,18 @@ def cmd_infer(args) -> int:
 
 def cmd_export(args) -> int:
     """Convert a Trainer checkpoint to a bare params export for serving."""
+    import dataclasses
+
     from basi_tpu.infer import Inferencer
     from basi_tpu.utils.checkpoint import export_params
 
     cfg = _build_cfg(args)
+    # Export must carry full-precision weights: Inferencer casts params to
+    # infer.dtype (default bfloat16) in place for its compute path, which
+    # would silently bake a precision-degraded checkpoint. Force f32 here;
+    # serving re-casts to its own compute dtype at load.
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, dtype="float32"))
     inf = Inferencer(cfg, checkpoint=args.checkpoint)
     export_params(args.out, inf.params, inf.batch_stats)
     print(json.dumps({"exported": args.out}))

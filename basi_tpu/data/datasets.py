@@ -178,15 +178,23 @@ def make_dataset(cfg_data, split: str | None = None):
 
 def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
                drop_last: bool = True) -> Iterator[dict[str, np.ndarray]]:
-    """Host-side batch assembly (decode is delegated to the dataset)."""
+    """Host-side batch assembly (decode is delegated to the dataset).
+
+    With ``drop_last=False`` the tail batch is padded to the static batch
+    size by tiling its samples; ``num_real`` records how many leading
+    samples are genuine so eval can skip the padded duplicates (padding
+    must never be double-counted into AP/MAE — it exists only to keep the
+    XLA program shape static).
+    """
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
     end = len(idx) - (len(idx) % batch_size if drop_last else 0)
     for start in range(0, end, batch_size):
         chunk = idx[start:start + batch_size]
-        if len(chunk) < batch_size and not drop_last:
-            chunk = np.concatenate([chunk, chunk[: batch_size - len(chunk)]])
+        num_real = len(chunk)
+        if num_real < batch_size:
+            chunk = np.resize(chunk, batch_size)  # tiles, handles any ratio
         samples = [dataset.get(int(i)) for i in chunk]
         yield {
             "image": np.stack([s.image for s in samples]),
@@ -194,4 +202,5 @@ def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
             "valid": np.stack([s.valid for s in samples]),
             "orig_hw": np.stack([s.orig_hw for s in samples]),
             "valid_hw": np.stack([s.valid_hw for s in samples]),
+            "num_real": np.int32(num_real),
         }

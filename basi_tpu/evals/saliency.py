@@ -42,3 +42,41 @@ def f_measure(pred: jnp.ndarray, target: jnp.ndarray,
          / jnp.maximum(beta2 * precision + recall, _EPS))
     f_per_thr = jnp.mean(f, axis=1)  # average over images
     return jnp.max(f_per_thr), jnp.mean(f_per_thr)
+
+
+@functools.partial(jax.jit, static_argnames=("num_thresholds",))
+def f_measure_hist(pred: jnp.ndarray, target: jnp.ndarray,
+                   beta2: float = 0.3, num_thresholds: int = 64) -> jnp.ndarray:
+    """Per-image F-beta curve over thresholds k/T, k=1..T — O(N*H*W) memory.
+
+    The broadcasted sweep in :func:`f_measure` materializes (T, N, H, W);
+    at full 512^2 eval resolution that is ~270 MB per batch. This version
+    histograms each prediction into T bins (one scatter-add pass), then
+    reverse-cumsums the per-bin counts: tp(k) = #(pred >= k/T & gt),
+    pp(k) = #(pred >= k/T). Returns the (T, N) F matrix so a streaming
+    evaluator can average per-image F over the dataset before taking the
+    max (the SOD literature's dataset-level max-F convention).
+    """
+    t_count = num_thresholds
+    p = pred.astype(jnp.float32).reshape(pred.shape[0], -1)
+    t = (target.astype(jnp.float32) > 0.5).astype(jnp.float32)
+    t = t.reshape(t.shape[0], -1)
+    # bin b means p in [b/T, (b+1)/T); pred >= k/T <=> bin >= k
+    bins = jnp.clip((p * t_count).astype(jnp.int32), 0, t_count - 1)
+
+    def hists(b, w):
+        all_h = jnp.zeros((t_count,), jnp.float32).at[b].add(1.0)
+        pos_h = jnp.zeros((t_count,), jnp.float32).at[b].add(w)
+        return all_h, pos_h
+
+    all_h, pos_h = jax.vmap(hists)(bins, t)  # (N, T) each
+    # reverse cumsum over bins, drop bin 0 (threshold k=1..T-1), keep T rows
+    # by including the ">= 0" row last replaced with ">= (T-1)/T" ordering:
+    pp = jnp.cumsum(all_h[:, ::-1], axis=1)[:, ::-1]  # (N, T): #(bin >= k)
+    tp = jnp.cumsum(pos_h[:, ::-1], axis=1)[:, ::-1]
+    gt_area = jnp.sum(t, axis=1, keepdims=True)
+    precision = tp / jnp.maximum(pp, _EPS)
+    recall = tp / jnp.maximum(gt_area, _EPS)
+    f = ((1 + beta2) * precision * recall
+         / jnp.maximum(beta2 * precision + recall, _EPS))
+    return f.T  # (T, N)

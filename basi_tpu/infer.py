@@ -132,35 +132,85 @@ class Inferencer:
 
         size = cfg.model.image_size
 
+        from basi_tpu.evals.saliency import f_measure_hist
+        from basi_tpu.ops.resize import resize_bilinear
+
         @jax.jit
-        def iou_vs_gt(slot_masks, gt_masks):
-            # slot_masks at /4; GT at full res -> maxpool GT down to /4 for
-            # the matching matrix (exact for IoU up to quantization; the
-            # full-res path via upsample_sigmoid is used when saving masks).
-            n, m, gh, gw = gt_masks.shape
-            mh, mw = slot_masks.shape[-2:]
-            fh, fw = gh // mh, gw // mw
-            gt_small = jnp.max(
-                gt_masks.reshape(n, m, mh, fh, mw, fw), axis=(3, 5)
-            ).astype(jnp.float32)
-            pm = (slot_masks > icfg.mask_threshold).astype(jnp.float32)
-            return jax.vmap(mask_iou_matrix)(pm, gt_small)
+        def eval_batch(params, batch_stats, images_u8, gt_masks, gt_valid):
+            """One fused eval program per batch: forward + selection +
+            FULL-RESOLUTION matching IoU + saliency metrics. Matching at /4
+            with maxpooled GT (round 1) dilates thin GT structures and
+            biases IoU; here predictions are upsampled (the same fused
+            kernel the PNG path uses) and matched against the native-res GT
+            — one (K, HW) x (HW, M) matmul per image."""
+            masks, scores, sal = run(params, batch_stats, images_u8)
+            full = self._to_full_res(masks)  # (N, K, size, size) probs
+            pm = (full > icfg.mask_threshold).astype(full.dtype)
+            gm = gt_masks.astype(full.dtype)
+            iou = jax.vmap(mask_iou_matrix)(pm, gm)  # (N, K, M) f32
+            # saliency branch vs the GT union, at full resolution
+            gv = gt_valid.astype(jnp.float32)
+            union = jnp.max(
+                gt_masks.astype(jnp.float32) * gv[..., None, None], axis=1)
+            prob = jax.nn.sigmoid(sal.astype(jnp.float32))  # (N, h, w, 1)
+            prob_full = resize_bilinear(prob, (size, size))[..., 0]
+            mae_per = jnp.mean(jnp.abs(prob_full - union), axis=(1, 2))
+            f_mat = f_measure_hist(prob_full, union)  # (T, N)
+            return masks, scores, iou, mae_per, f_mat
 
-        self._iou_vs_gt = iou_vs_gt
+        self._eval_batch = eval_batch
 
-    def full_res_masks(self, slot_mask_logits_or_probs: jnp.ndarray):
-        """Upsample slot masks to the model input resolution (fused kernel)."""
+    def _to_full_res(self, probs: jnp.ndarray):
+        """Upsample slot-mask PROBS to model input resolution (fused kernel,
+        traceable — composes into the jitted eval program)."""
         size = self.cfg.model.image_size
-        probs = slot_mask_logits_or_probs
-        logits = jnp.log(jnp.clip(probs, 1e-6, 1 - 1e-6)) - jnp.log1p(
-            -jnp.clip(probs, 1e-6, 1 - 1e-6)
-        )
+        p32 = jnp.clip(probs.astype(jnp.float32), 1e-6, 1 - 1e-6)
+        logits = (jnp.log(p32) - jnp.log1p(-p32)).astype(probs.dtype)
         fn = upsample_sigmoid if self._use_pallas else upsample_sigmoid_reference
         return fn(logits, (size, size))
+
+    def full_res_masks(self, slot_mask_probs: jnp.ndarray):
+        """Upsample slot masks to the model input resolution (fused kernel)."""
+        return jax.jit(self._to_full_res)(slot_mask_probs)
 
     def predict_batch(self, images_u8: np.ndarray):
         masks, scores, out = self._run(self.params, self.batch_stats, images_u8)
         return masks, scores, out
+
+    def _save_batch_pngs(self, bi: int, batch: dict, masks, scores_h):
+        """Paste masks to ORIGINAL resolution and dump PNGs (reference
+        behavior). The paste canvas is a static 512-multiple bucket sized
+        to the batch's largest original image (one XLA program per bucket),
+        so originals larger than the model size are no longer silently
+        truncated."""
+        import warnings
+
+        from basi_tpu.ops.paste import paste_masks_batch
+
+        cfg = self.cfg
+        size = cfg.model.image_size
+        max_canvas = 2048
+        mh = int(np.max(batch["orig_hw"][:, 0]))
+        mw = int(np.max(batch["orig_hw"][:, 1]))
+        ch = min(max(size, -(-mh // 512) * 512), max_canvas)
+        cw = min(max(size, -(-mw // 512) * 512), max_canvas)
+        if mh > max_canvas or mw > max_canvas:
+            warnings.warn(
+                f"original image {mh}x{mw} exceeds the {max_canvas} paste "
+                f"canvas cap; saved masks will be cropped")
+        full = self.full_res_masks(masks)
+        pasted = jax.device_get(paste_masks_batch(
+            full, jnp.asarray(batch["valid_hw"]),
+            (ch, cw), jnp.asarray(batch["orig_hw"]),
+        ))
+        for i in range(int(batch["num_real"])):
+            oh = min(int(batch["orig_hw"][i][0]), ch)
+            ow = min(int(batch["orig_hw"][i][1]), cw)
+            save_mask_pngs(
+                cfg.infer.output_dir, f"b{bi}_i{i}",
+                pasted[i][:, :oh, :ow], scores_h[i],
+                cfg.infer.score_threshold,
+            )
 
     def evaluate(self, dataset=None, max_batches: int = 0,
                  logger: MetricLogger | None = None) -> dict:
@@ -168,14 +218,38 @@ class Inferencer:
         dataset = dataset or make_dataset(cfg.data, split="val")
         acc = APAccumulator(thresholds=(0.5, 0.7))
         n_img = 0
-        t_ms = []
-        # Two-phase: dispatch every batch's program first (device work and
-        # host decode overlap; no per-batch sync), then fetch results. A
-        # synchronous fetch per batch would pay the ~30 ms relay round trip
-        # every iteration (see bench.py note).
+        n_batches = 0
+        sal_mae_sum = 0.0
+        f_sum = None  # (T,) running sum of per-image F curves
+        # Bounded-lag pipeline: dispatch up to ``lag`` batches ahead of the
+        # fetch cursor. Per-batch sync would pay the ~30 ms relay round trip
+        # every iteration (bench.py note); unbounded dispatch (round 1) held
+        # every batch's device outputs live and grew HBM linearly with the
+        # val set. The deque keeps at most ``lag`` result sets in flight.
         import time as _time
+        from collections import deque
 
-        pending = []
+        lag = max(1, int(cfg.data.prefetch_depth) * 2)
+        pending: deque = deque()
+
+        def drain_one():
+            nonlocal n_img, n_batches, sal_mae_sum, f_sum
+            bi, batch, masks, scores, iou, mae_per, f_mat = pending.popleft()
+            scores_h = np.asarray(jax.device_get(scores))
+            iou_h = np.asarray(jax.device_get(iou))
+            mae_h = np.asarray(jax.device_get(mae_per))
+            f_h = np.asarray(jax.device_get(f_mat))
+            nreal = int(batch["num_real"])
+            for i in range(nreal):  # padded tail duplicates are skipped
+                acc.add(scores_h[i], iou_h[i], batch["valid"][i])
+            n_img += nreal
+            n_batches += 1
+            sal_mae_sum += float(mae_h[:nreal].sum())
+            fs = f_h[:, :nreal].sum(axis=1)
+            f_sum = fs if f_sum is None else f_sum + fs
+            if cfg.infer.save_png:
+                self._save_batch_pngs(bi, batch, masks, scores_h)
+
         with maybe_trace(cfg.profile, cfg.profile_dir):
             t0 = _time.perf_counter()
             for bi, batch in enumerate(iter_epoch(
@@ -184,65 +258,26 @@ class Inferencer:
             )):
                 if max_batches and bi >= max_batches:
                     break
-                masks, scores, sal = self.predict_batch(batch["image"])
-                iou = self._iou_vs_gt(masks, jnp.asarray(batch["masks"]))
-                pending.append((bi, batch, masks, scores, iou, sal))
-            sal_mae, sal_maxf = [], []
-            for bi, batch, masks, scores, iou, sal in pending:
-                iou_h = np.asarray(jax.device_get(iou))
-                scores_h = np.asarray(jax.device_get(scores))
-                for i in range(len(batch["valid"])):
-                    acc.add(scores_h[i], iou_h[i], batch["valid"][i])
-                    n_img += 1
-                # saliency-branch metrics (MAE / max-F) vs the GT union,
-                # at the saliency map's /4 resolution
-                from basi_tpu.evals.saliency import f_measure, mae
+                masks, scores, iou, mae_per, f_mat = self._eval_batch(
+                    self.params, self.batch_stats, batch["image"],
+                    jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]),
+                )
+                pending.append((bi, batch, masks, scores, iou, mae_per, f_mat))
+                while len(pending) > lag:
+                    drain_one()
+            while pending:
+                drain_one()
+            total_ms = (_time.perf_counter() - t0) * 1000
 
-                gm = jnp.asarray(batch["masks"]).astype(jnp.float32)
-                gv = jnp.asarray(batch["valid"]).astype(jnp.float32)
-                union = jnp.max(gm * gv[..., None, None], axis=1)
-                sh, sw = sal.shape[1:3]
-                fh, fw = union.shape[1] // sh, union.shape[2] // sw
-                union_small = jnp.max(
-                    union.reshape(-1, sh, fh, sw, fw), axis=(2, 4))
-                prob = jax.nn.sigmoid(sal[..., 0].astype(jnp.float32))
-                sal_mae.append(float(jax.device_get(mae(prob, union_small))))
-                maxf, _ = f_measure(prob, union_small, num_thresholds=64)
-                sal_maxf.append(float(jax.device_get(maxf)))
-            if pending:
-                total_ms = (_time.perf_counter() - t0) * 1000
-                t_ms = [total_ms / len(pending)]
-            for bi, batch, masks, scores, iou, _sal in pending:
-                if cfg.infer.save_png:
-                    scores_h = np.asarray(jax.device_get(scores))
-                    # Reference behavior: masks saved at ORIGINAL image
-                    # resolution. Upsample (fused kernel) + on-device paste
-                    # into a fixed canvas, host only crops the view.
-                    from basi_tpu.ops.paste import paste_masks_batch
-
-                    size = cfg.model.image_size
-                    full = self.full_res_masks(masks)
-                    pasted = jax.device_get(paste_masks_batch(
-                        full, jnp.asarray(batch["valid_hw"]),
-                        (size, size), jnp.asarray(batch["orig_hw"]),
-                    ))
-                    for i in range(len(batch["valid"])):
-                        oh, ow = batch["orig_hw"][i]
-                        oh = min(int(oh), size)
-                        ow = min(int(ow), size)
-                        save_mask_pngs(
-                            cfg.infer.output_dir, f"b{bi}_i{i}",
-                            pasted[i][:, :oh, :ow], scores_h[i],
-                            cfg.infer.score_threshold,
-                        )
         metrics = acc.ap()
         if n_img:
-            metrics["saliency_mae"] = round(float(np.mean(sal_mae)), 4)
-            metrics["saliency_maxF"] = round(float(np.mean(sal_maxf)), 4)
-        if t_ms:
-            per_batch = float(np.mean(t_ms))
+            metrics["saliency_mae"] = round(sal_mae_sum / n_img, 4)
+            metrics["saliency_maxF"] = round(float(np.max(f_sum / n_img)), 4)
+        if n_batches:
+            per_batch = total_ms / n_batches
             metrics["infer_ms_per_batch"] = round(per_batch, 2)
-            metrics["imgs_per_s"] = round(cfg.infer.batch_size / (per_batch / 1000), 1)
+            metrics["imgs_per_s"] = round(
+                cfg.infer.batch_size / (per_batch / 1000), 1)
         metrics["num_images"] = n_img
         if logger:
             logger.log(metrics, prefix="[eval]")

@@ -126,8 +126,11 @@ def make_train_step(
         )
         return new_state, metrics
 
+    _USED_KEYS = ("image", "masks", "valid")
+
     if mesh is None:
         def body(state, batch):
+            batch = {k: batch[k] for k in _USED_KEYS}
             return local_step(state, batch, jnp.zeros((), jnp.int32))
 
         train_step = jax.jit(body, donate_argnums=(0,) if donate else ())
@@ -151,6 +154,9 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, batch):
+        # Dataset batches carry extra host-side keys (orig_hw/valid_hw/
+        # num_real); subselect so the dict matches shard_map's in_specs.
+        batch = {k: batch[k] for k in _USED_KEYS}
         return shard_fn(state, batch)
 
     return train_step

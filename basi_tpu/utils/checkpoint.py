@@ -45,14 +45,22 @@ class CheckpointManager:
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
     def maybe_resume(self, state: TrainState, resume: str = "auto") -> TrainState:
+        """resume: 'auto' (newest valid step, fresh start if none) | 'none'
+        | a digit string (explicit step in this manager's directory) | a
+        checkpoint directory path (restore its newest step)."""
         if resume == "none":
             return state
         if resume == "auto":
             if self.latest_step() is None:
                 return state
             return self.restore(state)
-        # explicit path/step
-        return self.restore(state, int(resume))
+        if resume.isdigit():
+            return self.restore(state, int(resume))
+        other = CheckpointManager(resume)
+        try:
+            return other.restore(state)
+        finally:
+            other.close()
 
     def close(self):
         self._mgr.close()

@@ -66,3 +66,31 @@ def test_cli_export_roundtrip(tmp_path):
                "--checkpoint", f"{tmp_path}/exported",
                "--max-batches", "1"])
     assert rc == 0
+
+
+def test_cli_export_keeps_float32(tmp_path):
+    """`basi export` must never bake bf16 weights (the default infer.dtype
+    is bfloat16 and round-1 cast params in place before exporting)."""
+    import jax
+    import numpy as np
+
+    from basi_tpu.utils.checkpoint import load_params
+
+    # strip TINY's infer.dtype=float32 so the preset default (bfloat16)
+    # applies — that's the footgun being tested
+    args = list(TINY)
+    i = args.index("infer.dtype=float32")
+    del args[i - 1:i + 1]
+
+    rc = main(["train", *args,
+               "--set", f"train.checkpoint_dir={tmp_path}/ckpt",
+               "--set", "train.epochs=1"])
+    assert rc == 0
+    # note: NO infer.dtype override -> default bfloat16
+    rc = main(["export", *args,
+               "--checkpoint", f"{tmp_path}/ckpt",
+               "--out", f"{tmp_path}/exported"])
+    assert rc == 0
+    restored = load_params(f"{tmp_path}/exported")
+    leaves = [x for x in jax.tree.leaves(restored["params"])]
+    assert all(np.asarray(x).dtype == np.float32 for x in leaves)

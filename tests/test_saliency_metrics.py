@@ -26,3 +26,25 @@ def test_f_measure_inverted_is_poor(rng):
     maxf, _ = f_measure(jnp.asarray(1.0 - t), jnp.asarray(t))
     # inverted prediction: best threshold still catches everything-at-0
     assert float(maxf) < 0.75
+
+
+def test_f_measure_hist_matches_bruteforce(rng):
+    """Histogram F-curve must agree with the broadcast sweep when every
+    prediction value sits strictly inside a bin (no edge ambiguity)."""
+    from basi_tpu.evals.saliency import f_measure_hist
+
+    t_count = 64
+    # values at bin centers (k + 0.5)/T so >= comparisons are unambiguous
+    bins = rng.randint(0, t_count, size=(2, 16, 16))
+    p = (bins + 0.5) / t_count
+    t = (rng.rand(2, 16, 16) > 0.5).astype(np.float32)
+    f_mat = np.asarray(f_measure_hist(jnp.asarray(p, jnp.float32),
+                                      jnp.asarray(t)))  # (T, N)
+    # brute force per threshold k/T
+    for k in [0, 1, 17, 40, 63]:
+        binp = (p >= k / t_count).astype(np.float32)
+        tp = (binp * t).sum(axis=(1, 2))
+        prec = tp / np.maximum(binp.sum(axis=(1, 2)), 1e-8)
+        rec = tp / np.maximum(t.sum(axis=(1, 2)), 1e-8)
+        f = 1.3 * prec * rec / np.maximum(0.3 * prec + rec, 1e-8)
+        np.testing.assert_allclose(f_mat[k], f, atol=1e-5)
