@@ -156,6 +156,66 @@ class FolderDataset:
             name=stem,
         )
 
+    def _mask_jobs(self, stem: str) -> tuple[str, list[str]]:
+        """(kind, mask file paths) for one sample; kind in
+        {'labeled', 'per', 'none'}."""
+        labeled = os.path.join(self.mask_dir, stem + ".png")
+        per_dir = os.path.join(self.mask_dir, stem)
+        if os.path.isfile(labeled):
+            return "labeled", [labeled]
+        if os.path.isdir(per_dir):
+            return "per", [
+                os.path.join(per_dir, f)
+                for f in sorted(os.listdir(per_dir))[: self.max_instances]
+            ]
+        return "none", []
+
+    def get_batch(self, indices) -> list[Sample]:
+        """Batch decode on the C++ thread pool (GIL-free): ONE call decodes
+        every image in the batch concurrently, a second decodes all GT mask
+        PNGs. Produces samples identical to per-item ``get`` (tested); the
+        PIL fallback decoder has no batch API, so we fall back per item."""
+        if not hasattr(self.decoder, "decode_letterbox_batch"):
+            return [self.get(int(i)) for i in indices]
+        names = [self.names[int(i)] for i in indices]
+        stems = [os.path.splitext(n)[0] for n in names]
+        imgs, hws = self.decoder.decode_letterbox_batch(
+            [os.path.join(self.img_dir, n) for n in names], self.size)
+
+        jobs = [self._mask_jobs(s) for s in stems]
+        flat_paths = [p for _, ps in jobs for p in ps]
+        if flat_paths:
+            mask_imgs, _ = self.decoder.decode_letterbox_batch(
+                flat_paths, self.size, nearest=True)
+        out = []
+        cursor = 0
+        for si, (kind, ps) in enumerate(jobs):
+            masks = np.zeros((self.max_instances, self.size, self.size),
+                             np.uint8)
+            count = 0
+            if kind == "labeled":
+                lab = mask_imgs[cursor][..., 0]
+                cursor += 1
+                for v in [v for v in np.unique(lab) if v > 0][: self.max_instances]:
+                    masks[count] = (lab == v).astype(np.uint8)
+                    count += 1
+            elif kind == "per":
+                for _ in ps:
+                    masks[count] = (mask_imgs[cursor][..., 0] > 127).astype(np.uint8)
+                    cursor += 1
+                    count += 1
+            valid = np.zeros((self.max_instances,), np.uint8)
+            valid[:count] = 1
+            oh, ow = int(hws[si][0]), int(hws[si][1])
+            vh, vw = letterbox_params(oh, ow, self.size)
+            out.append(Sample(
+                imgs[si], masks, valid,
+                np.array([oh, ow], np.int32),
+                np.array([vh, vw], np.int32),
+                name=stems[si],
+            ))
+        return out
+
 
 def make_dataset(cfg_data, split: str | None = None):
     split = cfg_data.split if split is None else split
@@ -195,7 +255,10 @@ def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
         num_real = len(chunk)
         if num_real < batch_size:
             chunk = np.resize(chunk, batch_size)  # tiles, handles any ratio
-        samples = [dataset.get(int(i)) for i in chunk]
+        if hasattr(dataset, "get_batch"):
+            samples = dataset.get_batch(chunk)
+        else:
+            samples = [dataset.get(int(i)) for i in chunk]
         yield {
             "image": np.stack([s.image for s in samples]),
             "masks": np.stack([s.masks for s in samples]),

@@ -66,6 +66,16 @@ class NativeDecoder:
             ctypes.POINTER(ctypes.c_int),  # out orig_h
             ctypes.POINTER(ctypes.c_int),  # out orig_w
         ]
+        self.lib.basi_decode_batch.restype = ctypes.c_int
+        self.lib.basi_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),  # paths
+            ctypes.c_int,  # n
+            ctypes.c_int,  # target size
+            ctypes.c_int,  # nearest flag
+            ctypes.POINTER(ctypes.c_ubyte),  # out (n, size, size, 3)
+            ctypes.POINTER(ctypes.c_int),  # hw (n, 2)
+            ctypes.c_int,  # threads
+        ]
 
     def decode_letterbox(self, path: str, size: int, nearest: bool = False):
         out = np.zeros((size, size, 3), np.uint8)
@@ -79,6 +89,32 @@ class NativeDecoder:
         if rc != 0:
             raise IOError(f"native decode failed ({rc}) for {path}")
         return out, (oh.value, ow.value)
+
+    def decode_letterbox_batch(self, paths: list[str], size: int,
+                               nearest: bool = False, threads: int = 0):
+        """Decode many files concurrently on the C++ thread pool (GIL-free;
+        decode.cc basi_decode_batch). Returns (out (n, size, size, 3) u8,
+        hw (n, 2) i32). This is the hot ingest path — at the 1k imgs/s/chip
+        target, single-threaded host decode is the bottleneck (SURVEY §7
+        hard part #4)."""
+        n = len(paths)
+        if n == 0:
+            return (np.zeros((0, size, size, 3), np.uint8),
+                    np.zeros((0, 2), np.int32))
+        out = np.zeros((n, size, size, 3), np.uint8)
+        hw = np.zeros((n, 2), np.int32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        threads = threads or min(os.cpu_count() or 1, n)
+        fails = self.lib.basi_decode_batch(
+            arr, n, size, int(nearest),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            threads,
+        )
+        if fails:
+            bad = [p for p, (h, w) in zip(paths, hw) if h == 0 and w == 0]
+            raise IOError(f"native batch decode: {fails} failures, e.g. {bad[:3]}")
+        return out, hw
 
 
 def build_native(verbose: bool = False) -> str | None:
@@ -145,6 +181,27 @@ def decode_benchmark(n: int = 64, size: int = 512, threads: int = 0) -> dict:
     dt = time.perf_counter() - t0
     assert fails == 0
     results[f"native_batch_t{threads}_imgs_per_s"] = round(n / dt, 1)
+
+    # Same numbers through the ACTUAL pipeline (FolderDataset.get_batch ->
+    # iter_epoch), not just the raw C API: images + labeled GT masks.
+    from PIL import Image as _Image
+
+    from basi_tpu.data.datasets import FolderDataset, iter_epoch
+
+    os.makedirs(os.path.join(d, "images"), exist_ok=True)
+    os.makedirs(os.path.join(d, "masks"), exist_ok=True)
+    lab = np.zeros((480, 640), np.uint8)
+    lab[100:300, 100:300] = 1
+    for i in range(n):
+        os.link(path, os.path.join(d, "images", f"im{i:04d}.jpg"))
+        _Image.fromarray(lab).save(os.path.join(d, "masks", f"im{i:04d}.png"))
+    ds = FolderDataset(d, image_size=size, max_instances=4,
+                       decode_backend="native")
+    t0 = time.perf_counter()
+    count = sum(b["image"].shape[0]
+                for b in iter_epoch(ds, 16, shuffle=False, seed=0))
+    dt = time.perf_counter() - t0
+    results["pipeline_imgs_per_s"] = round(count / dt, 1)
     return results
 
 

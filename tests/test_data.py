@@ -137,3 +137,50 @@ def test_folder_dataset_per_instance_pngs(tmp_path):
     s = ds.get(0)
     assert s.valid.tolist() == [1, 1, 1, 0]
     assert all(s.masks[k].sum() > 0 for k in range(3))
+
+
+def _native_available():
+    from basi_tpu.data.native import build_native
+    return build_native() is not None
+
+
+@pytest.mark.skipif(not _native_available(), reason="native decoder not built")
+def test_batch_decode_matches_sequential(tmp_path):
+    """FolderDataset.get_batch (C++ thread-pool decode) must produce byte-
+    identical samples to the per-item get() path, for both mask layouts."""
+    from PIL import Image
+
+    from basi_tpu.data.datasets import FolderDataset, iter_epoch
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    for i in range(5):
+        img = (rng.rand(40 + i * 7, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "images" / f"s{i}.png")
+        if i % 2 == 0:  # labeled layout
+            lab = np.zeros((40 + i * 7, 64), np.uint8)
+            lab[5:20, 5:30] = 1
+            lab[25:35, 40:60] = 2
+            Image.fromarray(lab).save(tmp_path / "masks" / f"s{i}.png")
+        else:  # per-instance layout
+            (tmp_path / "masks" / f"s{i}").mkdir()
+            m = np.zeros((40 + i * 7, 64), np.uint8)
+            m[10:30, 10:50] = 255
+            Image.fromarray(m).save(tmp_path / "masks" / f"s{i}" / "0.png")
+
+    ds = FolderDataset(str(tmp_path), image_size=64, max_instances=3,
+                       decode_backend="native")
+    sequential = [ds.get(i) for i in range(5)]
+    batched = ds.get_batch(np.arange(5))
+    for a, b in zip(sequential, batched):
+        np.testing.assert_array_equal(a.image, b.image)
+        np.testing.assert_array_equal(a.masks, b.masks)
+        np.testing.assert_array_equal(a.valid, b.valid)
+        np.testing.assert_array_equal(a.orig_hw, b.orig_hw)
+        np.testing.assert_array_equal(a.valid_hw, b.valid_hw)
+        assert a.name == b.name
+    # and through iter_epoch (which auto-uses get_batch when present)
+    batch = next(iter_epoch(ds, 4, shuffle=False, seed=0, drop_last=False))
+    np.testing.assert_array_equal(batch["image"][2], sequential[2].image)
+    np.testing.assert_array_equal(batch["masks"][3], sequential[3].masks)
