@@ -62,6 +62,10 @@ class TrainConfig:
     score_loss_weight: float = 1.0
     mask_loss_weight: float = 3.0
     saliency_loss_weight: float = 1.0
+    # Instance mask loss applies only the top-P positive cells' dynamic
+    # kernels instead of materializing all S*S candidate masks (identical
+    # loss while #positives <= P; 0 restores the dense path).
+    max_pos_cells: int = 64
     # The reference trains unclipped (pretrained backbone tolerates it);
     # from random init the cell-grid BCE can spike, so clip by default.
     grad_clip_norm: float = 10.0  # 0 disables

@@ -12,9 +12,11 @@ from typing import Any
 
 import jax.numpy as jnp
 
+import jax
+
 from basi_tpu.models.basi import BASIOutputs
 from basi_tpu.ops.losses import dice_loss, focal_loss, saliency_loss, sigmoid_bce
-from basi_tpu.train.targets import assign_targets_batch
+from basi_tpu.train.targets import assign_targets_batch, assign_targets_sparse
 
 
 def basi_loss(
@@ -28,32 +30,65 @@ def basi_loss(
     saliency_weight: float = 1.0,
     center_sigma: float = 0.2,
     axis_name: str | None = None,
+    max_pos_cells: int = 64,
 ) -> tuple[jnp.ndarray, dict[str, Any]]:
     """Total loss for a batch. gt_masks: (N, M, H, W); gt_valid: (N, M).
 
     With ``axis_name`` set (shard_map DP), every term is normalized by
     GLOBAL counts via psum so the loss equals the single-device full-batch
     loss exactly (see basi_tpu.ops.losses).
+
+    When ``outputs.mask_logits is None`` (model called with
+    ``with_candidates=False`` — the default train step), the instance mask
+    loss is computed on POSITIVE CELLS ONLY: targets select at most
+    ``max_pos_cells`` cells per image and only those cells' dynamic
+    kernels are applied, so the (S*S, h, w) candidate tensor — the
+    dominant HBM traffic of the dense step — is never materialized.
+    Identical loss value/gradient to the dense path while
+    #positives <= max_pos_cells (tested).
     """
-    n, c, mh, mw = outputs.mask_logits.shape
     s = outputs.cell_scores.shape[1]
+    n, mh, mw, e = outputs.mask_feats.shape
 
-    tgt_masks, cell_pos, score_tgt = assign_targets_batch(
-        gt_masks, gt_valid, grid_size=s, mask_hw=(mh, mw),
-        center_sigma=center_sigma,
-    )
-
-    # Instance masks: Dice over positive cells (+BCE, matching the
-    # reference's BCE+Dice recipe applied per instance).
-    inst_dice = dice_loss(outputs.mask_logits, tgt_masks, valid=cell_pos,
-                          axis_name=axis_name)
-    inst_bce = sigmoid_bce(
-        outputs.mask_logits, tgt_masks,
-        weights=jnp.broadcast_to(
-            cell_pos[..., None, None], outputs.mask_logits.shape
-        ),
-        axis_name=axis_name,
-    )
+    if outputs.mask_logits is None:
+        sel_idx, tgt_masks, pos_sel, score_tgt, num_pos = jax.vmap(
+            lambda gm, gv: assign_targets_sparse(
+                gm, gv, grid_size=s, mask_hw=(mh, mw),
+                center_sigma=center_sigma, max_pos_cells=max_pos_cells,
+            )
+        )(gt_masks, gt_valid)
+        kernels = outputs.cell_kernels.reshape(n, s * s, e)
+        sel_kernels = jnp.take_along_axis(
+            kernels, sel_idx[..., None].astype(jnp.int32), axis=1)
+        sel_logits = jnp.einsum(
+            "nhwe,npe->nphw", outputs.mask_feats, sel_kernels,
+            preferred_element_type=jnp.float32)
+        inst_dice = dice_loss(sel_logits, tgt_masks, valid=pos_sel,
+                              axis_name=axis_name)
+        inst_bce = sigmoid_bce(
+            sel_logits, tgt_masks,
+            weights=jnp.broadcast_to(
+                pos_sel[..., None, None], sel_logits.shape),
+            axis_name=axis_name,
+        )
+        total_pos = jnp.sum(num_pos)
+    else:
+        tgt_masks, cell_pos, score_tgt = assign_targets_batch(
+            gt_masks, gt_valid, grid_size=s, mask_hw=(mh, mw),
+            center_sigma=center_sigma,
+        )
+        # Instance masks: Dice over positive cells (+BCE, matching the
+        # reference's BCE+Dice recipe applied per instance).
+        inst_dice = dice_loss(outputs.mask_logits, tgt_masks, valid=cell_pos,
+                              axis_name=axis_name)
+        inst_bce = sigmoid_bce(
+            outputs.mask_logits, tgt_masks,
+            weights=jnp.broadcast_to(
+                cell_pos[..., None, None], outputs.mask_logits.shape
+            ),
+            axis_name=axis_name,
+        )
+        total_pos = jnp.sum(cell_pos)
     mask_loss = inst_dice + inst_bce
 
     # Cell objectness: focal loss.
@@ -81,10 +116,8 @@ def basi_loss(
         + score_weight * score_loss
         + saliency_weight * sal
     )
-    pos_per_img = jnp.sum(cell_pos) / n
+    pos_per_img = total_pos / n
     if axis_name:
-        import jax
-
         pos_per_img = jax.lax.pmean(pos_per_img, axis_name)
     metrics = {
         "loss": total,

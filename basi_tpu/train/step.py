@@ -54,12 +54,18 @@ def make_train_step(
         # makes DP exactly replica-count-invariant.
         model = model.clone(bn_axis=data_axis)
 
+    max_pos = getattr(cfg_train, "max_pos_cells", 64)
+
     def loss_fn(params, batch_stats, images, gt_masks, gt_valid):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
             mutable=["batch_stats"],
+            # Never materialize the (S*S, h, w) candidate tensor in
+            # training: the loss applies only the positive cells' kernels
+            # (basi_loss sparse path; max_pos_cells=0 restores dense).
+            with_candidates=(max_pos <= 0),
         )
         loss, metrics = basi_loss(
             out, gt_masks, gt_valid,
@@ -68,6 +74,7 @@ def make_train_step(
             score_weight=cfg_train.score_loss_weight,
             saliency_weight=cfg_train.saliency_loss_weight,
             axis_name=axis_name,
+            max_pos_cells=max_pos,
         )
         return loss, (metrics, mutated["batch_stats"])
 

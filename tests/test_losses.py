@@ -69,3 +69,49 @@ def test_soft_iou_bounds(rng):
     t = (rng.rand(3, 12, 12) > 0.5).astype(np.float32)
     v = float(soft_iou_loss(jnp.asarray(logits), jnp.asarray(t)))
     assert 0.0 <= v <= 1.0
+
+
+def test_sparse_loss_matches_dense():
+    """Positive-cells-only instance loss (with_candidates=False path) must
+    equal the dense all-cells loss — value AND gradient — whenever every
+    positive cell is kept (max_pos_cells >= #positives)."""
+    import jax
+
+    from basi_tpu.models.basi import create_model, init_model
+    from basi_tpu.train.loss import basi_loss
+    from helpers import tiny_batch, tiny_config
+
+    cfg = tiny_config(batch_size=2)
+    model = create_model(cfg.model)
+    params, bstats = init_model(model, cfg.model.image_size, seed=0)
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(rng, n=2, size=cfg.model.image_size, m=4)
+    imgs = jnp.asarray(batch["image"]).astype(jnp.float32) / 255.0
+    gm = jnp.asarray(batch["masks"], jnp.float32)
+    gv = jnp.asarray(batch["valid"])
+
+    def loss_with(with_cand):
+        def f(p):
+            # train=True like the real step: saliency deep-supervision aux
+            # must be present in BOTH paths (with_candidates only controls
+            # the candidate-mask tensor)
+            out, _ = model.apply({"params": p, "batch_stats": bstats}, imgs,
+                                 train=True, with_candidates=with_cand,
+                                 mutable=["batch_stats"])
+            loss, metrics = basi_loss(out, gm, gv, max_pos_cells=64)
+            return loss, metrics
+        (loss, metrics), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, metrics, grads
+
+    dense_loss, dense_m, dense_g = loss_with(True)
+    sparse_loss, sparse_m, sparse_g = loss_with(False)
+    assert float(dense_m["num_pos_cells"]) > 0
+    np.testing.assert_allclose(float(sparse_loss), float(dense_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(sparse_m["mask_dice"]),
+                               float(dense_m["mask_dice"]), rtol=1e-5)
+    np.testing.assert_allclose(float(sparse_m["mask_bce"]),
+                               float(dense_m["mask_bce"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(dense_g), jax.tree.leaves(sparse_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
