@@ -81,6 +81,80 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    """torch ``.pth`` checkpoint -> orbax params export (SURVEY §5.4: the
+    one-way importer that lets reference-released checkpoints run here).
+
+    ``--what full``: a complete reference-style BASINet state_dict.
+    ``--what backbone``: a torchvision(-style) ResNet-50 state_dict; the
+    backbone params/stats are grafted onto a fresh model init (the standard
+    "pretrained backbone, random heads" training start).
+    """
+    from basi_tpu.utils.checkpoint import export_params
+
+    cfg = _build_cfg(args)
+    sd = _load_torch_state_dict(args.torch)
+    stage_sizes = ((1, 1, 1, 1) if cfg.model.backbone == "resnet_tiny"
+                   else (3, 4, 6, 3))
+    if args.what == "full":
+        from basi_tpu.convert.full_import import import_basinet
+
+        params, stats = import_basinet(sd, stage_sizes)
+    else:
+        from basi_tpu.convert.torch_import import import_resnet50_backbone
+        from basi_tpu.models.basi import create_model, init_model
+
+        model = create_model(cfg.model)
+        params, stats = init_model(model, cfg.model.image_size)
+        bb_params, bb_stats = import_resnet50_backbone(sd, stage_sizes)
+        params["backbone"] = bb_params
+        stats["backbone"] = bb_stats
+
+    _check_against_template(cfg, params, stats)
+    export_params(args.out, params, stats)
+    print(json.dumps({"imported": args.torch, "exported": args.out,
+                      "what": args.what}))
+    return 0
+
+
+def _load_torch_state_dict(path: str) -> dict:
+    import numpy as np
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v) for k, v in sd.items()}
+
+
+def _check_against_template(cfg, params, stats):
+    """Fail fast with a readable diff if the converted trees don't match the
+    model structure — silent mismatches surface only as AP drift
+    (SURVEY §7 hard part #5)."""
+    import jax
+
+    from basi_tpu.models.basi import create_model, init_model
+
+    model = create_model(cfg.model)
+    tmpl_p, tmpl_b = init_model(model, cfg.model.image_size)
+    for name, got, want in (("params", params, tmpl_p),
+                            ("batch_stats", stats, tmpl_b)):
+        got_shapes = {jax.tree_util.keystr(k): v.shape for k, v in
+                      jax.tree_util.tree_flatten_with_path(got)[0]}
+        want_shapes = {jax.tree_util.keystr(k): v.shape for k, v in
+                       jax.tree_util.tree_flatten_with_path(want)[0]}
+        if got_shapes != want_shapes:
+            missing = sorted(set(want_shapes) - set(got_shapes))
+            extra = sorted(set(got_shapes) - set(want_shapes))
+            wrong = sorted(k for k in set(got_shapes) & set(want_shapes)
+                           if got_shapes[k] != want_shapes[k])
+            raise ValueError(
+                f"converted {name} do not match the model: "
+                f"missing={missing[:8]} extra={extra[:8]} "
+                f"shape-mismatch={[(k, got_shapes[k], want_shapes[k]) for k in wrong[:8]]}")
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
@@ -107,6 +181,15 @@ def main(argv=None) -> int:
     p_exp.add_argument("--checkpoint", required=True)
     p_exp.add_argument("--out", required=True)
     p_exp.set_defaults(fn=cmd_export)
+
+    p_imp = sub.add_parser(
+        "import", help="torch .pth -> orbax params export")
+    _add_common(p_imp)
+    p_imp.add_argument("--torch", required=True, help="torch .pth path")
+    p_imp.add_argument("--out", required=True, help="orbax export dir")
+    p_imp.add_argument("--what", default="full",
+                       choices=["full", "backbone"])
+    p_imp.set_defaults(fn=cmd_import)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.add_argument("--mode", default="infer", choices=["infer", "train"])

@@ -2,9 +2,10 @@
 
 Extends the backbone importer to every head so a complete torch checkpoint
 (reference-released or torch-mirror) loads into BASINet. Layer-name mapping
-assumes the reference-style module naming used by the tests' torch mirror;
-adjust ``RENAMES`` if the real reference uses different attribute names
-(SURVEY §0: reference unreadable this round).
+assumes the reference-style module naming used by the tests' torch mirror
+(the ``f"{tname}.*"`` prefixes below); if the real reference uses different
+attribute names, remap the incoming ``state_dict`` keys before calling
+``import_basinet`` (SURVEY §0: reference unreadable this round).
 
 Handled conversions: Conv2d OIHW->HWIO (+bias), GroupNorm/BatchNorm
 weight/bias -> scale/bias (+BN running stats -> batch_stats).

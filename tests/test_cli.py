@@ -94,3 +94,44 @@ def test_cli_export_keeps_float32(tmp_path):
     restored = load_params(f"{tmp_path}/exported")
     leaves = [x for x in jax.tree.leaves(restored["params"])]
     assert all(np.asarray(x).dtype == np.float32 for x in leaves)
+
+
+def test_cli_import_torch_full(tmp_path, capsys):
+    """`basi import` converts a torch BASINet .pth into an orbax export the
+    Inferencer can load — the reference-checkpoint on-ramp (SURVEY §5.4)."""
+    import torch
+
+    from torch_basi import TorchBASINet
+
+    tmodel = TorchBASINet(stage_sizes=(1, 1, 1, 1), fpn_ch=32, mask_ch=32,
+                          grid=8).eval()
+    torch.save(tmodel.state_dict(), f"{tmp_path}/ref.pth")
+
+    args = TINY
+    rc = main(["import", *args,
+               "--torch", f"{tmp_path}/ref.pth",
+               "--out", f"{tmp_path}/imported"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["what"] == "full"
+    rc = main(["infer", *args,
+               "--checkpoint", f"{tmp_path}/imported",
+               "--max-batches", "1"])
+    assert rc == 0
+
+
+def test_cli_import_shape_mismatch_fails(tmp_path):
+    """Silent conversion mismatches surface only as AP drift — the CLI must
+    fail fast with a readable diff instead."""
+    import torch
+
+    from torch_basi import TorchBASINet
+
+    # grid=4 produces instance-head trees whose shapes can't match grid=8
+    tmodel = TorchBASINet(stage_sizes=(1, 1, 1, 1), fpn_ch=32, mask_ch=16,
+                          grid=4).eval()
+    torch.save(tmodel.state_dict(), f"{tmp_path}/ref.pth")
+    with pytest.raises(ValueError, match="do not match the model"):
+        main(["import", *TINY,
+              "--torch", f"{tmp_path}/ref.pth",
+              "--out", f"{tmp_path}/imported"])
