@@ -91,3 +91,21 @@ def random_augment(rng: jax.Array, images: jnp.ndarray, masks: jnp.ndarray,
         off_x = jax.random.uniform(k_ox, (n,))
         imgs, msks = jax.vmap(scale_jitter_one)(imgs, msks, scale, off_y, off_x)
     return imgs, msks, flip
+
+
+def space_to_depth_host(imgs: "np.ndarray", block: int = 2):
+    """Host-side (numpy) twin of models.resnet.space_to_depth for the uint8
+    feed: (N, H, W, C) -> (N, H/b, W/b, b*b*C), identical channel order.
+
+    Packing on the host removes the device-side s2d layout copies entirely
+    (round-2 profile: the u8 reorder materialized TWO copies, ~0.63 ms per
+    batch-8 at 512^2 = 9% of the inference program); the bytes shipped are
+    the same, just pre-arranged in the stem's native format.
+    """
+    import numpy as np
+
+    n, h, w, c = imgs.shape
+    x = imgs.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x.reshape(n, h // block, w // block,
+                                          block * block * c))

@@ -97,13 +97,15 @@ class Inferencer:
         @jax.jit
         def run(params, batch_stats, images_u8):
             x = images_u8
-            reps = 4 if stem_s2d else 1
-            if stem_s2d:
+            if stem_s2d and x.shape[-1] == 3:
                 # The barrier pins the transpose to the uint8 bytes: without
                 # it XLA commutes the (elementwise) normalize before the
                 # (linear) s2d and pays the transpose in f32 — measured
-                # 1.1 ms of copies per batch-8 vs ~0.1 ms on uint8.
+                # 1.1 ms of copies per batch-8 vs ~0.1 ms on uint8. Callers
+                # that pre-pack on the host (transforms.space_to_depth_host,
+                # 12-channel input) skip even the uint8 reorder copies.
                 x = jax.lax.optimization_barrier(space_to_depth(x, 2))
+            reps = x.shape[-1] // 3
             x = x.astype(jnp.float32) / 255.0
             x = (x - jnp.tile(jnp.asarray(mean), reps)) / jnp.tile(
                 jnp.asarray(std), reps)

@@ -19,6 +19,53 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def make_spatial_train_step(model, tx, cfg_train, cfg_data, mesh: Mesh,
+                            data_axis: str = "data",
+                            spatial_axis: str = "spatial",
+                            donate: bool = True):
+    """Jitted train step over a 2D (data, spatial) mesh — GSPMD style.
+
+    Unlike the shard_map DP step (train/step.py), this uses global-array
+    semantics: images shard as P(data, spatial) over (N, H), params stay
+    replicated, and the partitioner derives every collective — conv halo
+    exchanges over the row boundary, BatchNorm's cross-shard (N, H, W)
+    moment reductions, and the replicated-gradient all-reduce. The loss is
+    the mesh=None path's global normalization, which under global semantics
+    IS the global loss, so results match the unsharded step exactly
+    (tested on the 8-device CPU mesh at (2, 4)).
+
+    The Pallas ingest kernel is forced off: a custom call is an opaque
+    unit to the SPMD partitioner and would force a full re-gather of the
+    sharded image; the XLA reference ingest partitions elementwise.
+    """
+    import functools
+
+    from basi_tpu.train.step import make_train_step
+
+    body = make_train_step(model, tx, cfg_train, cfg_data, mesh=None,
+                           donate=False, use_pallas=False).body
+    rep = NamedSharding(mesh, P())
+    batch_shardings = {
+        # masks are (N, M, H, W): rows shard on axis 2
+        "image": NamedSharding(mesh, P(data_axis, spatial_axis, None, None)),
+        "masks": NamedSharding(mesh, P(data_axis, None, spatial_axis, None)),
+        "valid": NamedSharding(mesh, P(data_axis, None)),
+    }
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, batch_shardings),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+    def train_step(state, batch):
+        batch = {k: batch[k] for k in ("image", "masks", "valid")}
+        return body(state, batch)
+
+    train_step.batch_shardings = batch_shardings  # for callers' device_put
+    return train_step
+
+
 def spatial_forward_fn(model, mesh: Mesh, data_axis: str = "data",
                        spatial_axis: str = "spatial"):
     """Jitted inference forward with batch+row sharding.

@@ -39,6 +39,10 @@ class BatchedPredictor:
         self.inf = Inferencer(cfg, checkpoint=checkpoint)
         self.batch = cfg.infer.batch_size
         self.size = cfg.model.image_size
+        # s2d models take the host-packed feed format: same bytes, zero
+        # device-side reorder copies (see transforms.space_to_depth_host).
+        self._pack_s2d = (getattr(cfg.model, "stem_mode", "conv7") == "s2d"
+                          and cfg.model.backbone != "vgg16")
         self.max_wait = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
@@ -66,7 +70,11 @@ class BatchedPredictor:
         padded = -(-n // group) * group
         buf = np.zeros((padded, self.size, self.size, 3), np.uint8)
         buf[:n] = images_u8
-        batches = jnp.asarray(buf.reshape(-1, self.batch, self.size, self.size, 3))
+        if self._pack_s2d:
+            from basi_tpu.data.transforms import space_to_depth_host
+
+            buf = space_to_depth_host(buf)
+        batches = jnp.asarray(buf.reshape(-1, self.batch, *buf.shape[1:]))
 
         run = self.inf.run_fn
 
@@ -111,6 +119,10 @@ class BatchedPredictor:
             buf = np.zeros((self.batch, self.size, self.size, 3), np.uint8)
             for i, (img, _, _) in enumerate(items):
                 buf[i] = img
+            if self._pack_s2d:
+                from basi_tpu.data.transforms import space_to_depth_host
+
+                buf = space_to_depth_host(buf)
             try:
                 masks, scores, _ = self.inf.predict_batch(jnp.asarray(buf))
                 masks = np.asarray(jax.device_get(masks))

@@ -40,8 +40,15 @@ def _bench_infer(batch_size: int = 8, iters: int = 32, warmup: int = 5) -> dict:
     #    production serving pattern) therefore scans K batches inside ONE
     #    program so the round trip amortizes to noise.
     k = iters
-    batches = jnp.asarray(
-        (rng.rand(k, batch_size, size, size, 3) * 255).astype(np.uint8))
+    raw = (rng.rand(k, batch_size, size, size, 3) * 255).astype(np.uint8)
+    if getattr(cfg.model, "stem_mode", "conv7") == "s2d":
+        # Feed in the stem's native pre-packed s2d format (the data
+        # pipeline's feed layout for s2d models): same bytes, arranged on
+        # the host, so the device program pays zero reorder copies.
+        from basi_tpu.data.transforms import space_to_depth_host
+
+        raw = np.stack([space_to_depth_host(b) for b in raw])
+    batches = jnp.asarray(raw)
 
     @jax.jit
     def run_many(params, batch_stats, all_batches):

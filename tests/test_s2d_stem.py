@@ -83,3 +83,32 @@ def test_s2d_backbone_matches_conv7(rng):
     for a, b in zip(out7, outs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_host_packed_feed_matches_raw(rng):
+    """Pre-packing s2d on the host (the zero-copy feed format) must produce
+    bitwise the same predictions as feeding raw NHWC uint8."""
+    from basi_tpu.config import get_config
+    from basi_tpu.data.transforms import space_to_depth_host
+    from basi_tpu.infer import Inferencer
+    from basi_tpu.models.basi import create_model, init_model
+
+    cfg = get_config("val_v4-8_ap", [
+        "model.backbone=resnet_tiny", "model.image_size=64",
+        "data.image_size=64", "infer.batch_size=2", "infer.dtype=float32",
+        "data.dataset=synthetic", "model.stem_mode=s2d",
+    ])
+    model = create_model(cfg.model)
+    params, bstats = init_model(model, 64, seed=0)
+    inf = Inferencer(cfg, params=params, batch_stats=bstats)
+    img = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+
+    # host packing == device space_to_depth on the same bytes
+    np.testing.assert_array_equal(
+        space_to_depth_host(img), np.asarray(space_to_depth(jnp.asarray(img))))
+
+    m_raw, s_raw, sal_raw = inf.predict_batch(img)
+    m_pk, s_pk, sal_pk = inf.predict_batch(space_to_depth_host(img))
+    np.testing.assert_array_equal(np.asarray(s_raw), np.asarray(s_pk))
+    np.testing.assert_array_equal(np.asarray(m_raw), np.asarray(m_pk))
+    np.testing.assert_array_equal(np.asarray(sal_raw), np.asarray(sal_pk))
