@@ -45,6 +45,7 @@ class DataConfig:
     hflip_prob: float = 0.5
     scale_range: tuple[float, float] = (0.75, 1.25)
     multiscale: bool = False
+    synthetic_n: int = 256  # synthetic train-split size (val = n // 4)
     prefetch_depth: int = 2  # double buffering
     decode_backend: str = "auto"  # auto | native | pil | synthetic
 

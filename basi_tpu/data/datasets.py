@@ -220,7 +220,8 @@ class FolderDataset:
 def make_dataset(cfg_data, split: str | None = None):
     split = cfg_data.split if split is None else split
     if cfg_data.dataset == "synthetic":
-        n = 256 if split == "train" else 64
+        n = cfg_data.synthetic_n if split == "train" \
+            else max(cfg_data.synthetic_n // 4, 1)
         return SyntheticDataset(
             n=n, image_size=cfg_data.image_size,
             max_instances=cfg_data.max_instances,

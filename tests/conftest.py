@@ -12,6 +12,11 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+    # CPU-backend compile time dominates suite wall-clock on this 1-core host;
+    # level 0 skips the slow LLVM opt pipeline (~1.7x faster suite) and all
+    # golden-parity tolerances still hold (tests compare vs f32 torch oracles
+    # at precision=highest, which is unaffected by backend opt level).
+    + " --xla_backend_optimization_level=0"
 )
 
 import jax  # noqa: E402
@@ -19,6 +24,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Tests compare against f32 torch oracles; make matmuls deterministic-exact.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: XLA:CPU compile time dominates suite wall-clock
+# (first run ~18 min on this 1-core host); cached reruns skip it entirely.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

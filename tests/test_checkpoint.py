@@ -1,6 +1,8 @@
 """Fault tolerance (SURVEY §5.3/5.4): checkpoint between steps, restart,
 assert BITWISE-identical continuation."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -15,6 +17,7 @@ from basi_tpu.utils.checkpoint import CheckpointManager
 from helpers import tiny_batch, tiny_config
 
 
+@pytest.mark.slow
 def test_bitwise_resume(tmp_path):
     cfg = tiny_config()
     model = create_model(cfg.model)

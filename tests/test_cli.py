@@ -16,6 +16,7 @@ TINY = [
     "--set", "data.image_size=64",
     "--set", "data.dataset=synthetic",
     "--set", "data.batch_size=4",
+    "--set", "data.synthetic_n=16",
     "--set", "data.max_instances=4",
     "--set", "infer.batch_size=4",
     "--set", "infer.dtype=float32",
@@ -23,17 +24,22 @@ TINY = [
 ]
 
 
-def test_cli_train_and_infer(tmp_path, capsys):
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    """One tiny CLI training run shared by every test that needs a
+    checkpoint — `basi train` itself is exercised here."""
+    root = tmp_path_factory.mktemp("cli_train")
     rc = main(["train", *TINY,
-               "--set", f"train.checkpoint_dir={tmp_path}/ckpt",
+               "--set", f"train.checkpoint_dir={root}/ckpt",
                "--set", "train.epochs=1",
-               "--metrics", f"{tmp_path}/m.jsonl"])
+               "--metrics", f"{root}/m.jsonl"])
     assert rc == 0
-    out = capsys.readouterr().out
-    final = json.loads(out.strip().splitlines()[-1])
-    assert "final" in final and "AP@0.5" in final["final"]
-    # metrics JSONL written
-    lines = open(f"{tmp_path}/m.jsonl").read().strip().splitlines()
+    return root
+
+
+def test_cli_train_and_infer(trained_ckpt, capsys):
+    # train ran in the fixture; check its artifacts
+    lines = (trained_ckpt / "m.jsonl").read_text().strip().splitlines()
     assert any('"loss"' in l for l in lines)
 
     rc = main(["infer", *TINY, "--max-batches", "1"])
@@ -53,13 +59,9 @@ def test_cli_preset_unknown():
         main(["train", "--preset", "definitely-not-a-preset"])
 
 
-def test_cli_export_roundtrip(tmp_path):
-    rc = main(["train", *TINY,
-               "--set", f"train.checkpoint_dir={tmp_path}/ckpt",
-               "--set", "train.epochs=1"])
-    assert rc == 0
+def test_cli_export_roundtrip(trained_ckpt, tmp_path):
     rc = main(["export", *TINY,
-               "--checkpoint", f"{tmp_path}/ckpt",
+               "--checkpoint", f"{trained_ckpt}/ckpt",
                "--out", f"{tmp_path}/exported"])
     assert rc == 0
     rc = main(["infer", *TINY,
@@ -68,7 +70,7 @@ def test_cli_export_roundtrip(tmp_path):
     assert rc == 0
 
 
-def test_cli_export_keeps_float32(tmp_path):
+def test_cli_export_keeps_float32(trained_ckpt, tmp_path):
     """`basi export` must never bake bf16 weights (the default infer.dtype
     is bfloat16 and round-1 cast params in place before exporting)."""
     import jax
@@ -82,13 +84,9 @@ def test_cli_export_keeps_float32(tmp_path):
     i = args.index("infer.dtype=float32")
     del args[i - 1:i + 1]
 
-    rc = main(["train", *args,
-               "--set", f"train.checkpoint_dir={tmp_path}/ckpt",
-               "--set", "train.epochs=1"])
-    assert rc == 0
     # note: NO infer.dtype override -> default bfloat16
     rc = main(["export", *args,
-               "--checkpoint", f"{tmp_path}/ckpt",
+               "--checkpoint", f"{trained_ckpt}/ckpt",
                "--out", f"{tmp_path}/exported"])
     assert rc == 0
     restored = load_params(f"{tmp_path}/exported")

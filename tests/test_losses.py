@@ -1,5 +1,7 @@
 """Golden tests: losses vs the torch CPU oracle (SURVEY §4 item 1)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -71,6 +73,7 @@ def test_soft_iou_bounds(rng):
     assert 0.0 <= v <= 1.0
 
 
+@pytest.mark.slow
 def test_sparse_loss_matches_dense():
     """Positive-cells-only instance loss (with_candidates=False path) must
     equal the dense all-cells loss — value AND gradient — whenever every

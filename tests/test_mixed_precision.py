@@ -1,5 +1,7 @@
 """Mixed-precision training: bf16 compute, f32 params/optimizer state."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -13,6 +15,7 @@ from basi_tpu.train.step import make_train_step
 from helpers import tiny_batch, tiny_config
 
 
+@pytest.mark.slow
 def test_bf16_train_step_runs_and_keeps_f32_state():
     cfg = tiny_config()
     model_cfg = dataclasses.replace(cfg.model, dtype="bfloat16")

@@ -1,5 +1,7 @@
 """Remat (activation checkpointing) must not change results."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +22,7 @@ def test_remat_forward_matches(rng):
                                np.asarray(b.mask_logits), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_grad_matches(rng):
     kw = dict(backbone="resnet_tiny", fpn_channels=32, mask_channels=32,
               grid_size=8)

@@ -1,6 +1,8 @@
 """Spatial-sharding parity: (2 data x 4 spatial) mesh forward must match
 the unsharded forward (XLA SPMD inserts conv halo exchange)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +31,7 @@ def test_spatial_shard_matches_unsharded(rng):
         atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_train_step_matches_single_device(rng):
     """(2 data x 4 spatial) GSPMD train step == unsharded train step on the
     same global batch. Partitioned reductions reassociate float sums, so

@@ -24,6 +24,7 @@ def setup():
     return cfg, model, tx, state
 
 
+@pytest.mark.slow
 def test_single_device_loss_decreases(setup):
     cfg, model, tx, state = setup
     step_fn = make_train_step(model, tx, cfg.train, cfg.data, mesh=None,
