@@ -33,6 +33,9 @@ def basi_loss(
     max_pos_cells: int = 64,
 ) -> tuple[jnp.ndarray, dict[str, Any]]:
     """Total loss for a batch. gt_masks: (N, M, H, W); gt_valid: (N, M).
+    gt_masks may arrive at any integer multiple of the mask-feature
+    resolution — the train step pre-downsamples to /4 (maxpool, exactly
+    matching the downsample below) so the full-res tensor never exists.
 
     With ``axis_name`` set (shard_map DP), every term is normalized by
     GLOBAL counts via psum so the loss equals the single-device full-batch

