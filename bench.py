@@ -61,7 +61,7 @@ def _bench_infer(batch_size: int = 8, iters: int = 32, warmup: int = 5) -> dict:
 
     float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
     dts = []
-    for _ in range(2):  # best-of-2: the relay adds ~±5% run-to-run noise
+    for _ in range(4):  # best-of-4: the relay adds ±5-10% run-to-run noise
         t0 = time.perf_counter()
         float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
         dts.append(time.perf_counter() - t0)
