@@ -127,34 +127,37 @@ class FolderDataset:
             os.path.join(self.img_dir, name), self.size
         )
         vh, vw = letterbox_params(oh, ow, self.size)
-
-        masks = np.zeros((self.max_instances, self.size, self.size), np.uint8)
-        count = 0
-        labeled = os.path.join(self.mask_dir, stem + ".png")
-        per_dir = os.path.join(self.mask_dir, stem)
-        if os.path.isfile(labeled):
-            lab, _ = self.decoder.decode_letterbox(labeled, self.size, nearest=True)
-            lab = lab[..., 0] if lab.ndim == 3 else lab
-            ids = [v for v in np.unique(lab) if v > 0]
-            for v in ids[: self.max_instances]:
-                masks[count] = (lab == v).astype(np.uint8)
-                count += 1
-        elif os.path.isdir(per_dir):
-            for f in sorted(os.listdir(per_dir))[: self.max_instances]:
-                m, _ = self.decoder.decode_letterbox(
-                    os.path.join(per_dir, f), self.size, nearest=True
-                )
-                m = m[..., 0] if m.ndim == 3 else m
-                masks[count] = (m > 127).astype(np.uint8)
-                count += 1
-        valid = np.zeros((self.max_instances,), np.uint8)
-        valid[:count] = 1
+        kind, paths = self._mask_jobs(stem)
+        decoded = []
+        for p in paths:
+            m, _ = self.decoder.decode_letterbox(p, self.size, nearest=True)
+            decoded.append(m[..., 0] if m.ndim == 3 else m)
+        masks, valid = self._assemble_masks(kind, decoded)
         return Sample(
             img, masks, valid,
             np.array([oh, ow], np.int32),
             np.array([vh, vw], np.int32),
             name=stem,
         )
+
+    def _assemble_masks(self, kind: str, decoded: list[np.ndarray]):
+        """Single source of truth for GT mask assembly (shared by ``get``
+        and ``get_batch``): labeled-id expansion, >127 binarization,
+        max_instances capping. ``decoded``: 2-D arrays, one per mask file."""
+        masks = np.zeros((self.max_instances, self.size, self.size), np.uint8)
+        count = 0
+        if kind == "labeled":
+            lab = decoded[0]
+            for v in [v for v in np.unique(lab) if v > 0][: self.max_instances]:
+                masks[count] = (lab == v).astype(np.uint8)
+                count += 1
+        elif kind == "per":
+            for m in decoded[: self.max_instances]:
+                masks[count] = (m > 127).astype(np.uint8)
+                count += 1
+        valid = np.zeros((self.max_instances,), np.uint8)
+        valid[:count] = 1
+        return masks, valid
 
     def _mask_jobs(self, stem: str) -> tuple[str, list[str]]:
         """(kind, mask file paths) for one sample; kind in
@@ -190,22 +193,9 @@ class FolderDataset:
         out = []
         cursor = 0
         for si, (kind, ps) in enumerate(jobs):
-            masks = np.zeros((self.max_instances, self.size, self.size),
-                             np.uint8)
-            count = 0
-            if kind == "labeled":
-                lab = mask_imgs[cursor][..., 0]
-                cursor += 1
-                for v in [v for v in np.unique(lab) if v > 0][: self.max_instances]:
-                    masks[count] = (lab == v).astype(np.uint8)
-                    count += 1
-            elif kind == "per":
-                for _ in ps:
-                    masks[count] = (mask_imgs[cursor][..., 0] > 127).astype(np.uint8)
-                    cursor += 1
-                    count += 1
-            valid = np.zeros((self.max_instances,), np.uint8)
-            valid[:count] = 1
+            decoded = [mask_imgs[cursor + j][..., 0] for j in range(len(ps))]
+            cursor += len(ps)
+            masks, valid = self._assemble_masks(kind, decoded)
             oh, ow = int(hws[si][0]), int(hws[si][1])
             vh, vw = letterbox_params(oh, ow, self.size)
             out.append(Sample(

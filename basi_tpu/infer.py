@@ -158,7 +158,12 @@ class Inferencer:
             prob_full = resize_bilinear(prob, (size, size))[..., 0]
             mae_per = jnp.mean(jnp.abs(prob_full - union), axis=(1, 2))
             f_mat = f_measure_hist(prob_full, union)  # (T, N)
-            return masks, scores, iou, mae_per, f_mat
+            # The PNG path reuses ``full`` (already computed for the IoU
+            # matrix) rather than re-running the upsample — but returning
+            # the (N, K, size, size) tensor keeps it live in HBM for up to
+            # ``lag`` batches, so only ship it when PNGs are requested.
+            full_out = full if icfg.save_png else jnp.zeros((), full.dtype)
+            return masks, scores, iou, mae_per, f_mat, full_out
 
         self._eval_batch = eval_batch
 
@@ -179,7 +184,7 @@ class Inferencer:
         masks, scores, out = self._run(self.params, self.batch_stats, images_u8)
         return masks, scores, out
 
-    def _save_batch_pngs(self, bi: int, batch: dict, masks, scores_h):
+    def _save_batch_pngs(self, bi: int, batch: dict, full, scores_h):
         """Paste masks to ORIGINAL resolution and dump PNGs (reference
         behavior). The paste canvas is a static 512-multiple bucket sized
         to the batch's largest original image (one XLA program per bucket),
@@ -200,7 +205,6 @@ class Inferencer:
             warnings.warn(
                 f"original image {mh}x{mw} exceeds the {max_canvas} paste "
                 f"canvas cap; saved masks will be cropped")
-        full = self.full_res_masks(masks)
         pasted = jax.device_get(paste_masks_batch(
             full, jnp.asarray(batch["valid_hw"]),
             (ch, cw), jnp.asarray(batch["orig_hw"]),
@@ -234,9 +238,11 @@ class Inferencer:
         lag = max(1, int(cfg.data.prefetch_depth) * 2)
         pending: deque = deque()
 
+        png_ms = 0.0
+
         def drain_one():
-            nonlocal n_img, n_batches, sal_mae_sum, f_sum
-            bi, batch, masks, scores, iou, mae_per, f_mat = pending.popleft()
+            nonlocal n_img, n_batches, sal_mae_sum, f_sum, png_ms
+            bi, batch, scores, iou, mae_per, f_mat, full = pending.popleft()
             scores_h = np.asarray(jax.device_get(scores))
             iou_h = np.asarray(jax.device_get(iou))
             mae_h = np.asarray(jax.device_get(mae_per))
@@ -250,7 +256,11 @@ class Inferencer:
             fs = f_h[:, :nreal].sum(axis=1)
             f_sum = fs if f_sum is None else f_sum + fs
             if cfg.infer.save_png:
-                self._save_batch_pngs(bi, batch, masks, scores_h)
+                # PNG paste/encode is postproc I/O; keep it out of the
+                # reported inference latency (timed separately below).
+                tp = _time.perf_counter()
+                self._save_batch_pngs(bi, batch, full, scores_h)
+                png_ms += (_time.perf_counter() - tp) * 1000
 
         with maybe_trace(cfg.profile, cfg.profile_dir):
             t0 = _time.perf_counter()
@@ -260,11 +270,12 @@ class Inferencer:
             )):
                 if max_batches and bi >= max_batches:
                     break
-                masks, scores, iou, mae_per, f_mat = self._eval_batch(
+                masks, scores, iou, mae_per, f_mat, full = self._eval_batch(
                     self.params, self.batch_stats, batch["image"],
                     jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]),
                 )
-                pending.append((bi, batch, masks, scores, iou, mae_per, f_mat))
+                del masks  # full-res ``full`` supersedes it in the drain
+                pending.append((bi, batch, scores, iou, mae_per, f_mat, full))
                 while len(pending) > lag:
                     drain_one()
             while pending:
@@ -276,10 +287,12 @@ class Inferencer:
             metrics["saliency_mae"] = round(sal_mae_sum / n_img, 4)
             metrics["saliency_maxF"] = round(float(np.max(f_sum / n_img)), 4)
         if n_batches:
-            per_batch = total_ms / n_batches
+            per_batch = (total_ms - png_ms) / n_batches
             metrics["infer_ms_per_batch"] = round(per_batch, 2)
             metrics["imgs_per_s"] = round(
                 cfg.infer.batch_size / (per_batch / 1000), 1)
+            if png_ms:
+                metrics["png_ms_per_batch"] = round(png_ms / n_batches, 2)
         metrics["num_images"] = n_img
         if logger:
             logger.log(metrics, prefix="[eval]")

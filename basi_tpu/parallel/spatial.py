@@ -58,9 +58,15 @@ def make_spatial_train_step(model, tx, cfg_train, cfg_data, mesh: Mesh,
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else (),
     )
-    def train_step(state, batch):
-        batch = {k: batch[k] for k in ("image", "masks", "valid")}
+    def _jit_step(state, batch):
         return body(state, batch)
+
+    def train_step(state, batch):
+        # Subselect OUTSIDE the jit: in_shardings is matched against the
+        # input pytree before the body runs, so pipeline batches carrying
+        # extra host-side keys (orig_hw/valid_hw/num_real) would otherwise
+        # fail the pytree-structure check.
+        return _jit_step(state, {k: batch[k] for k in ("image", "masks", "valid")})
 
     train_step.batch_shardings = batch_shardings  # for callers' device_put
     return train_step

@@ -41,6 +41,8 @@ class Trainer:
             mesh = self.mesh
 
             def sharding(v):  # noqa: F811 - batch-dim sharding per array
+                if v.ndim == 0:  # scalars (e.g. num_real): replicate
+                    return NamedSharding(mesh, P())
                 return NamedSharding(
                     mesh, P(cfg.parallel.data_axis, *([None] * (v.ndim - 1)))
                 )

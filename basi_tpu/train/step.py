@@ -190,9 +190,12 @@ def make_train_step(
 
 
 def shard_batch(batch: dict[str, jnp.ndarray], mesh: Mesh, data_axis: str = "data"):
-    """Device-put a host batch with batch-dim sharding."""
-    sharding = NamedSharding(mesh, P(data_axis))
+    """Device-put a host batch with batch-dim sharding (scalars replicate)."""
+    def spec(v):
+        if getattr(v, "ndim", 0) == 0:
+            return P()
+        return P(*([data_axis] + [None] * (v.ndim - 1)))
     return {
-        k: jax.device_put(v, NamedSharding(mesh, P(*([data_axis] + [None] * (v.ndim - 1)))))
+        k: jax.device_put(v, NamedSharding(mesh, spec(v)))
         for k, v in batch.items()
     }

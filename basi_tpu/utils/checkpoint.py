@@ -56,6 +56,11 @@ class CheckpointManager:
             return self.restore(state)
         if resume.isdigit():
             return self.restore(state, int(resume))
+        if not os.path.isdir(resume):
+            # CheckpointManager would mkdir the path; a typo'd resume value
+            # must fail fast instead of leaving an empty orbax dir behind.
+            raise FileNotFoundError(
+                f"resume: no checkpoint directory at {resume!r}")
         other = CheckpointManager(resume)
         try:
             return other.restore(state)

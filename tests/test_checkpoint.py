@@ -80,3 +80,17 @@ def test_maybe_resume_from_path(tmp_path):
     # 'none' and digit strings still behave
     same = dst.maybe_resume(template, "none")
     assert same is template
+
+
+def test_resume_missing_path_fails_fast(tmp_path):
+    """A typo'd resume path must raise (and NOT mkdir an empty orbax dir)."""
+    import pytest
+
+    from basi_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    missing = tmp_path / "nope"
+    with pytest.raises(FileNotFoundError):
+        mgr.maybe_resume(None, resume=str(missing))
+    assert not missing.exists()
+    mgr.close()

@@ -83,7 +83,7 @@ def test_eval_batch_uses_full_res_matching():
     inf = _make_inferencer(2)
     ds = SyntheticDataset(n=2, image_size=64, max_instances=2, seed=3)
     batch = next(iter_epoch(ds, 2, shuffle=False, seed=0, drop_last=False))
-    masks, scores, iou, mae_per, f_mat = inf._eval_batch(
+    masks, scores, iou, mae_per, f_mat, _ = inf._eval_batch(
         inf.params, inf.batch_stats, batch["image"],
         jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]))
     full = inf.full_res_masks(masks)
@@ -92,3 +92,23 @@ def test_eval_batch_uses_full_res_matching():
         want = np.asarray(mask_iou_matrix(
             jnp.asarray(pm[i]), jnp.asarray(batch["masks"][i], jnp.float32)))
         np.testing.assert_allclose(np.asarray(iou)[i], want, atol=1e-4)
+
+
+def test_save_png_path_writes_and_excludes_png_time(tmp_path):
+    """save_png=True: PNGs are written from the eval program's own full-res
+    tensor (no second upsample) and PNG I/O time is reported separately,
+    not folded into infer_ms_per_batch."""
+    import dataclasses
+
+    inf = _make_inferencer(2)
+    cfg = inf.cfg
+    inf.cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(
+            cfg.infer, save_png=True, output_dir=str(tmp_path)))
+    inf._build()  # rebuild: eval program now returns the full-res tensor
+    ds = SyntheticDataset(n=3, image_size=64, max_instances=2, seed=2)
+    metrics = inf.evaluate(ds)
+    assert metrics["num_images"] == 3
+    pngs = list(tmp_path.glob("*.png"))
+    assert len(pngs) == 3  # one combined mask PNG per real image
+    assert "png_ms_per_batch" in metrics
