@@ -4,6 +4,8 @@
 would receive are asserted exactly.
 """
 
+import os
+
 import jax
 import pytest
 
@@ -76,49 +78,62 @@ def test_process_info_single_process():
 
 
 @pytest.mark.slow
-def test_two_process_cpu_distributed_smoke(tmp_path):
-    """Real 2-process jax.distributed over localhost CPU: both workers
-    initialize through maybe_initialize (BASI_* env branch), see a global
-    2-device view, and psum across hosts."""
-    import os
+def test_two_process_cpu_gloo_psum(tmp_path):
+    """REAL multi-process jax.distributed smoke (SURVEY §5.8): two
+    subprocesses initialize through maybe_initialize's BASI_* env branch,
+    build a global 4-device mesh (2 local CPU devices each), and a
+    shard_map psum over Gloo must produce the global sum in both."""
     import subprocess
     import sys
+    import textwrap
 
-    script = tmp_path / "worker.py"
-    script.write_text(
-        "import os\n"
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "from basi_tpu.parallel.distributed import maybe_initialize, process_info\n"
-        "assert maybe_initialize() is True\n"
-        "idx, count = process_info()\n"
-        "assert count == 2, count\n"
-        "import jax.numpy as jnp\n"
-        "from jax.sharding import Mesh, NamedSharding, PartitionSpec as P\n"
-        "mesh = Mesh(jax.devices(), ('data',))\n"
-        "assert len(jax.devices()) == 2\n"
-        "x = jnp.ones((1,)) * (idx + 1)\n"
-        "g = jax.make_array_from_single_device_arrays(\n"
-        "    (2, 1), NamedSharding(mesh, P('data')),\n"
-        "    [jax.device_put(x[None], jax.local_devices()[0])])\n"
-        "s = jax.jit(lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P()))(g)\n"
-        "assert float(s) == 3.0, float(s)\n"
-        "print(f'WORKER{idx} OK')\n"
-    )
-    env_base = {**os.environ,
-                "PYTHONPATH": os.environ.get("PYTHONPATH", "") + os.pathsep
-                + os.getcwd(),
-                "BASI_COORDINATOR": "localhost:12945",
-                "BASI_NUM_PROCESSES": "2",
-                "JAX_PLATFORMS": "cpu"}
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent("""
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+        os.environ.update({
+            "BASI_COORDINATOR": f"127.0.0.1:{port}",
+            "BASI_NUM_PROCESSES": str(nproc),
+            "BASI_PROCESS_ID": str(pid),
+        })
+        import numpy as np
+        import jax.numpy as jnp
+        from basi_tpu.parallel.distributed import maybe_initialize
+        assert maybe_initialize() is True
+        assert jax.process_count() == nproc
+        devs = jax.devices()
+        assert len(devs) == 2 * nproc, devs
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devs), ("data",))
+        g = jax.shard_map(lambda x: jax.lax.psum(x, "data"), mesh=mesh,
+                          in_specs=P("data"), out_specs=P("data"))
+        x = jnp.arange(2 * nproc, dtype=jnp.float32)
+        out = g(jax.device_put(x, NamedSharding(mesh, P("data"))))
+        local = np.asarray([s.data for s in out.addressable_shards]).ravel()
+        assert np.allclose(local, float(x.sum())), (local, float(x.sum()))
+        print(f"proc {pid} OK")
+    """))
+    import socket
+
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    env.pop("JAX_PLATFORMS", None)
     procs = [
-        subprocess.Popen([sys.executable, str(script)],
-                         env={**env_base, "BASI_PROCESS_ID": str(i)},
-                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                         text=True)
+        subprocess.Popen([sys.executable, str(worker), str(i), "2", port],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert f"WORKER{i} OK" in out
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    assert all(f"proc {i} OK" in outs[i] for i in range(2)), outs
