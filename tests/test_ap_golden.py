@@ -1,0 +1,64 @@
+"""Golden AP values, hand-computed per COCO 101-point interpolation
+(SURVEY §3.5): greedy score-ordered matching, precision envelope, mean
+precision over the 0:0.01:1 recall grid."""
+
+import numpy as np
+
+from basi_tpu.evals.ap import APAccumulator
+
+
+def test_ap_golden_tp_fp_mix():
+    """2 GT, preds by score: TP(iou .8), FP, TP(iou .6).
+
+    tau=0.5: tps=[1,0,1] -> recall [.5,.5,1], prec [1,.5,2/3];
+      envelope 1.0 on r<=0.5 (51 grid pts), 2/3 above (50 pts)
+      -> AP = (51 + 50*2/3)/101
+    tau=0.7: only the .8-IoU pred matches -> envelope 1.0 on r<=0.5, 0 above
+      -> AP = 51/101
+    """
+    acc = APAccumulator(thresholds=(0.5, 0.7))
+    iou = np.array([
+        [0.8, 0.0],
+        [0.0, 0.0],
+        [0.0, 0.6],
+    ])
+    acc.add(np.array([0.9, 0.8, 0.7]), iou, np.ones(2))
+    ap = acc.ap()
+    np.testing.assert_allclose(ap["AP@0.5"], (51 + 50 * 2 / 3) / 101, atol=1e-9)
+    np.testing.assert_allclose(ap["AP@0.7"], 51 / 101, atol=1e-9)
+
+
+def test_ap_greedy_uses_best_iou_gt_and_no_double_match():
+    """One GT, two preds both over threshold: the higher-score pred takes
+    the GT; the second becomes FP (no double-matching)."""
+    acc = APAccumulator(thresholds=(0.5,))
+    iou = np.array([[0.9], [0.8]])
+    acc.add(np.array([0.9, 0.8]), iou, np.ones(1))
+    ap = acc.ap()
+    # recall [1,1], prec [1,.5] -> envelope 1.0 everywhere covered at r<=1
+    np.testing.assert_allclose(ap["AP@0.5"], 1.0, atol=1e-9)
+
+
+def test_ap_streams_across_images():
+    """Accumulating two images must equal the same data as one stream:
+    entries are globally re-sorted by score at ap() time."""
+    a1 = APAccumulator(thresholds=(0.5,))
+    a1.add(np.array([0.9]), np.array([[0.8]]), np.ones(1))
+    a1.add(np.array([0.95, 0.2]), np.array([[0.0], [0.9]]), np.ones(1))
+
+    a2 = APAccumulator(thresholds=(0.5,))
+    # identical content, different image split order
+    a2.add(np.array([0.95, 0.2]), np.array([[0.0], [0.9]]), np.ones(1))
+    a2.add(np.array([0.9]), np.array([[0.8]]), np.ones(1))
+    np.testing.assert_allclose(a1.ap()["AP@0.5"], a2.ap()["AP@0.5"], atol=1e-12)
+
+
+def test_ap_ignores_zero_score_and_invalid_gt():
+    acc = APAccumulator(thresholds=(0.5,))
+    # second GT slot invalid; zero-score preds are padding and skipped
+    acc.add(np.array([0.9, 0.0, 0.0]),
+            np.array([[0.8, 0.9], [0.9, 0.9], [0.9, 0.9]]),
+            np.array([1, 0]))
+    ap = acc.ap()
+    assert acc._num_gt == 1
+    np.testing.assert_allclose(ap["AP@0.5"], 1.0, atol=1e-9)
