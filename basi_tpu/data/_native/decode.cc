@@ -92,12 +92,20 @@ bool decode_png(FILE* f, Image* out) {
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color_type == PNG_COLOR_TYPE_GRAY ||
       color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // Strip alpha UNCONDITIONALLY (no-op when absent): checking the original
+  // color_type's ALPHA mask misses alpha channels introduced by the
+  // transforms above — png_set_palette_to_rgb expands palette+tRNS to
+  // RGBA — and libpng would then write 4 bytes/px into rows laid out for
+  // 3 (heap overflow). Transparent pixels decode to their underlying RGB.
+  png_set_strip_alpha(png);
   png_read_update_info(png, info);
+  if (png_get_channels(png, info) != 3) {  // defense: never overflow rows
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   out->h = int(h);
   out->w = int(w);
   out->data.resize(size_t(h) * w * 3);

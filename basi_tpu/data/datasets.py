@@ -33,9 +33,15 @@ class Sample:
 
 
 def letterbox_params(orig_h: int, orig_w: int, size: int) -> tuple[int, int]:
-    """Content size after aspect-preserving resize into a size x size box."""
+    """Content size after aspect-preserving resize into a size x size box.
+
+    Rounds half AWAY from zero (int(x + 0.5)) to match the C++ decoder's
+    letterbox exactly — Python's round() is banker's rounding and disagrees
+    at .5 boundaries (e.g. 382.5), which would shift valid_hw one pixel off
+    the decoded content and mis-invert the letterbox in paste_mask."""
     scale = size / max(orig_h, orig_w)
-    return max(1, round(orig_h * scale)), max(1, round(orig_w * scale))
+    return (max(1, int(orig_h * scale + 0.5)),
+            max(1, int(orig_w * scale + 0.5)))
 
 
 class SyntheticDataset:

@@ -58,28 +58,51 @@ class DeviceFeed:
 
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         _SENTINEL = object()
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that notices an abandoned consumer: if the
+            # consumer stops iterating (train-step exception, interrupt),
+            # a plain q.put would block this thread forever, pinning
+            # depth+1 device batches of HBM per abandoned epoch.
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for hb in host_iter:
                     # device_put is async; the transfer overlaps compute and
                     # the bounded queue enforces the double-buffer depth.
-                    q.put(self._put_device(hb))
+                    if not _put(self._put_device(hb)):
+                        return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                _put(e)
                 return
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
+            while not q.empty():  # release device references promptly
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)

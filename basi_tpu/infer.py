@@ -66,12 +66,24 @@ class Inferencer:
             checkpoint, {"params": tmpl_p, "batch_stats": tmpl_b})
         return restored["params"], restored["batch_stats"]
 
+    def set_weights(self, params, batch_stats):
+        """Swap weights WITHOUT rebuilding the jitted programs (applies the
+        same dtype pre-cast as _build). The Trainer's per-epoch eval uses
+        this so the compiled eval program is reused across epochs."""
+        if self._compute_dtype == jnp.bfloat16:
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+            batch_stats = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), batch_stats)
+        self.params = params
+        self.batch_stats = batch_stats or {}
+
     def _build(self):
         cfg = self.cfg
         mean = tuple(cfg.data.mean)
         std = tuple(cfg.data.std)
         icfg = cfg.infer
         compute_dtype = jnp.dtype(icfg.dtype) if icfg.dtype else self.model.dtype
+        self._compute_dtype = compute_dtype
         # flax modules promote to their own dtype, so bf16 inference needs
         # the MODULE dtype switched, not just the input cast.
         model = (self.model if compute_dtype == self.model.dtype

@@ -19,24 +19,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _sample_1d_weights(out_size: int, src_extent: jnp.ndarray, in_size: int):
-    """Dynamic 1-D bilinear sampling weights.
-
-    Maps output pixel i in [0, out_size) to source coordinate
-    (i + 0.5) * src_extent / out_size - 0.5 (half-pixel convention), where
-    ``src_extent`` is a traced scalar (the valid source region in pixels).
-    Returns (lo_idx, hi_idx, frac) each of shape (out_size,).
-    """
-    i = jnp.arange(out_size, dtype=jnp.float32)
-    src = (i + 0.5) * (src_extent / out_size) - 0.5
-    src = jnp.clip(src, 0.0, in_size - 1.0)
-    lo = jnp.floor(src)
-    frac = src - lo
-    lo_i = lo.astype(jnp.int32)
-    hi_i = jnp.minimum(lo_i + 1, in_size - 1)
-    return lo_i, hi_i, frac
-
-
 def paste_mask(
     mask: jnp.ndarray,
     valid_hw: jnp.ndarray,

@@ -80,9 +80,17 @@ class Trainer:
         start_epoch = start_step // self.steps_per_epoch
         last_metrics: dict = {}
         host_step = start_step
+        last_saved_step = start_step if start_step else -1
         with maybe_trace(cfg.profile, cfg.profile_dir):
             for epoch in range(start_epoch, cfg.train.epochs):
-                for batch in self.feed.epoch(epoch):
+                # Mid-epoch resume: batch order is (seed, epoch)-pure, so
+                # skipping the first ``already`` batches reproduces the
+                # exact remaining schedule instead of retraining them (and
+                # overshooting max_steps / the poly LR schedule).
+                already = host_step - epoch * self.steps_per_epoch
+                for bi, batch in enumerate(self.feed.epoch(epoch)):
+                    if bi < already:
+                        continue
                     self.state, metrics = self.train_step(self.state, batch)
                     # Track the step on the host: fetching state.step would
                     # force a device sync EVERY step (~30 ms on the axon
@@ -112,19 +120,30 @@ class Trainer:
                             and cfg.train.checkpoint_every_steps
                             and step % cfg.train.checkpoint_every_steps == 0):
                         self.ckpt.save(self.state)
-                # per-epoch: eval + checkpoint (reference behavior)
+                        last_saved_step = step
+                # per-epoch: eval + checkpoint (reference behavior); skip if
+                # the in-loop save already wrote this step (orbax raises
+                # StepAlreadyExistsError on a duplicate step).
                 eval_metrics = self.evaluate()
                 self.logger.log({"epoch": epoch, **eval_metrics}, prefix="[val]")
-                if self.ckpt is not None:
+                if self.ckpt is not None and host_step != last_saved_step:
                     self.ckpt.save(self.state)
+                    last_saved_step = host_step
                 last_metrics.update(eval_metrics)
         return last_metrics
 
     def evaluate(self, max_batches: int = 0) -> dict:
         from basi_tpu.infer import Inferencer
 
-        inf = Inferencer(
-            self.cfg, model=self.model,
-            params=self.state.params, batch_stats=self.state.batch_stats,
-        )
+        # Build the Inferencer ONCE and swap weights per epoch: jax.jit
+        # caches per function object, so a fresh Inferencer every epoch
+        # would retrace + recompile the whole eval program each time.
+        inf = getattr(self, "_inferencer", None)
+        if inf is None:
+            inf = self._inferencer = Inferencer(
+                self.cfg, model=self.model,
+                params=self.state.params, batch_stats=self.state.batch_stats,
+            )
+        else:
+            inf.set_weights(self.state.params, self.state.batch_stats)
         return inf.evaluate(self.val_dataset, max_batches=max_batches)

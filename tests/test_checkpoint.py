@@ -94,3 +94,63 @@ def test_resume_missing_path_fails_fast(tmp_path):
         mgr.maybe_resume(None, resume=str(missing))
     assert not missing.exists()
     mgr.close()
+
+
+def test_in_loop_and_epoch_save_no_duplicate_step(tmp_path):
+    """checkpoint_every_steps dividing steps_per_epoch: the per-epoch save
+    must skip the already-saved step (orbax raises StepAlreadyExistsError
+    on duplicates, which killed training at the first epoch end)."""
+    from basi_tpu.train.loop import Trainer
+
+    from helpers import tiny_config
+
+    cfg = tiny_config(batch_size=4)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, synthetic_n=16, batch_size=4),
+        train=dataclasses.replace(
+            cfg.train, epochs=1, checkpoint_every_steps=4,
+            checkpoint_dir=str(tmp_path / "ckpt")),
+        parallel=dataclasses.replace(cfg.parallel, num_devices=1),
+    )
+    tr = Trainer(cfg)  # 4 steps/epoch -> in-loop save lands on step 4 too
+    tr.train()
+    assert tr.ckpt.latest_step() == 4
+
+
+def test_mid_epoch_resume_skips_trained_batches(tmp_path):
+    """Resume from a mid-epoch checkpoint must continue at that batch, not
+    replay the whole epoch (which double-trained batches and overshot
+    max_steps, driving the poly LR schedule past its end)."""
+    import jax
+
+    from basi_tpu.train.loop import Trainer
+
+    from helpers import tiny_config
+
+    cfg = tiny_config(batch_size=4)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, synthetic_n=16, batch_size=4),
+        train=dataclasses.replace(
+            cfg.train, epochs=1, checkpoint_every_steps=2,
+            checkpoint_dir=str(tmp_path / "ckpt")),
+        parallel=dataclasses.replace(cfg.parallel, num_devices=1),
+    )
+    Trainer(cfg).train()  # saves steps 2 and 4
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume="none",
+                                       checkpoint_every_steps=2,
+                                       checkpoint_dir=str(tmp_path / "ckpt2")))
+    # restore step 2 from the first run's manager into a fresh trainer
+    t2 = Trainer(cfg2)
+    from basi_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    t2.state = mgr.restore(t2.state, 2)
+    mgr.close()
+    assert int(jax.device_get(t2.state.step)) == 2
+    t2.train()
+    # 4 steps/epoch, resumed at 2 -> exactly 2 more steps, never 2+4
+    assert int(jax.device_get(t2.state.step)) == 4

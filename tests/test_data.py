@@ -184,3 +184,61 @@ def test_batch_decode_matches_sequential(tmp_path):
     batch = next(iter_epoch(ds, 4, shuffle=False, seed=0, drop_last=False))
     np.testing.assert_array_equal(batch["image"][2], sequential[2].image)
     np.testing.assert_array_equal(batch["masks"][3], sequential[3].masks)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native decoder not built")
+def test_native_png_alpha_and_trns_safe(tmp_path):
+    """Palette+tRNS and RGBA PNGs: libpng's palette_to_rgb expands tRNS to
+    RGBA, which (pre-fix) overflowed the 3-byte/px row buffers. Both must
+    decode safely and match the PIL fallback."""
+    from PIL import Image
+
+    from basi_tpu.data.native import get_decoder
+
+    rgb = (np.random.RandomState(0).rand(96, 64, 3) * 255).astype(np.uint8)
+    pal = Image.fromarray(rgb).convert("P", palette=Image.ADAPTIVE, colors=16)
+    p1 = str(tmp_path / "pal_trns.png")
+    pal.save(p1, transparency=0)
+    rgba = np.dstack(
+        [rgb, (np.random.RandomState(1).rand(96, 64) * 255).astype(np.uint8)])
+    p2 = str(tmp_path / "rgba.png")
+    Image.fromarray(rgba, "RGBA").save(p2)
+
+    nat = get_decoder("native")
+    pil = get_decoder("pil")
+    for p in (p1, p2):
+        a, hw_a = nat.decode_letterbox(p, 128)
+        b, hw_b = pil.decode_letterbox(p, 128)
+        assert hw_a == hw_b and a.shape == b.shape == (128, 128, 3)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_letterbox_params_rounds_half_away_like_native():
+    """382.5 must round to 383 (int(x+0.5)), matching the C++ letterbox;
+    Python round() would give 382 (banker's rounding) and shift valid_hw
+    one pixel off the decoded content."""
+    from basi_tpu.data.datasets import letterbox_params
+
+    assert letterbox_params(765, 1024, 512) == (383, 512)
+    assert letterbox_params(1024, 765, 512) == (512, 383)
+
+
+def test_device_feed_abandoned_epoch_releases_producer():
+    """Breaking out of an epoch early must not leave the producer thread
+    blocked on the full queue (it held device batches pinned forever)."""
+    import threading
+    import time
+
+    from basi_tpu.data.datasets import SyntheticDataset
+    from basi_tpu.data.pipeline import DeviceFeed
+
+    before = threading.active_count()
+    ds = SyntheticDataset(n=64, image_size=32, max_instances=2)
+    feed = DeviceFeed(ds, 4, shuffle=False, seed=0, depth=2)
+    it = feed.epoch(0)
+    next(it)
+    it.close()  # abandon mid-epoch (same path as an exception in the step)
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
