@@ -92,7 +92,7 @@ class InferConfig:
     batch_size: int = 8
     score_threshold: float = 0.1
     mask_threshold: float = 0.5
-    nms: str = "matrix"  # matrix | greedy
+    nms: str = "matrix"  # matrix (gauss decay) | matrix_linear | greedy
     nms_sigma: float = 2.0
     nms_iou_threshold: float = 0.5
     pre_nms_top_k: int = 64

@@ -77,8 +77,11 @@ class BASINet(nn.Module):
 
         pyramid = FPNDecoder(self.fpn_channels, name="fpn", **kw)(feats)
 
+        # Aux deep-supervision outputs feed ONLY the training loss — don't
+        # couple them to with_candidates (a dense-candidate inference call
+        # would compute and discard 4 out-convs + full-res resizes).
         sal_logits, sal_aux = SaliencyHead(name="saliency", **kw)(
-            pyramid, with_aux=train or with_candidates)
+            pyramid, with_aux=train)
         mask_feats = MaskFeatureHead(
             embed_dim=self.mask_channels, name="maskfeat", **kw
         )(pyramid)

@@ -1,10 +1,10 @@
 """VGG16 backbone option (SURVEY.md §2.6), NHWC, exposing a 4-level pyramid.
 
-The reference offers a VGG16 variant alongside ResNet-50. We expose conv2_2,
-conv3_3, conv4_3, conv5_3 (strides /2, /4, /8, /16 after their pools are
-applied *before* each block, torchvision "features" layout) remapped so the
-FPN sees the same (/4, /8, /16, /32) stride set as ResNet by applying the
-final pool to conv5_3.
+The reference offers a VGG16 variant alongside ResNet-50. The pyramid taps
+are conv3_3 (/4), conv4_3 (/8), conv5_3 (/16), and max-pooled conv5_3
+(/32) — pools are applied *before* each block (torchvision "features"
+layout) — so the FPN sees the same (/4, /8, /16, /32) stride set as
+ResNet's C2..C5. conv1/conv2 run at /1 and /2 and are not exposed.
 """
 
 from __future__ import annotations

@@ -41,15 +41,10 @@ def label_components(binary: jnp.ndarray, connectivity: int = 4,
     labels = jnp.where(fg, idx, _INF)
     cap = max_iters if max_iters is not None else h + w
 
-    if connectivity == 4:
-        window = jnp.asarray(
-            [[0, 1, 0], [1, 1, 1], [0, 1, 0]], jnp.int32)
-    else:
-        window = jnp.ones((3, 3), jnp.int32)
-
     def min_pool(x):
-        # reduce_window min over the 3x3 neighborhood, masked by ``window``:
-        # implement as shifted mins to honor 4-connectivity exactly.
+        # min over the neighborhood as explicit shifted mins (the
+        # ``shifts`` list IS the connectivity definition: 4 axis
+        # neighbors, +4 diagonals for 8-connectivity).
         big = jnp.full_like(x, _INF)
         out = x
         shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]

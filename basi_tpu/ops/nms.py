@@ -56,7 +56,16 @@ def matrix_nms(
     """
     iou = mask_iou_matrix(masks, masks)  # (K, K)
     # For candidate j, suppression comes from any higher-scoring candidate i.
-    higher = (scores[:, None] > scores[None, :]).astype(jnp.float32)  # i>j
+    # Index tiebreak: exactly-tied scores (e.g. duplicated kernels in
+    # adjacent cells producing bit-identical masks) must still suppress one
+    # another — strict > alone keeps BOTH duplicates at full score, unlike
+    # the sorted upper-triangular SOLOv2 formulation.
+    k = scores.shape[0]
+    idx = jnp.arange(k)
+    higher = (
+        (scores[:, None] > scores[None, :])
+        | ((scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
+    ).astype(jnp.float32)  # i beats j
     sup_iou = iou * higher  # iou with higher-scored candidates only
     # Max IoU each *suppressor* i suffers from its own suppressors.
     comp_iou = jnp.max(sup_iou, axis=0)  # (K,) per candidate as target
@@ -119,7 +128,8 @@ def select_instances_from_kernels(
     ``select_instances`` with objectness prefiltering.
     """
     probs = jax.nn.sigmoid(cell_scores.astype(jnp.float32))
-    obj_scores, top_idx = jax.lax.top_k(probs, pre_top_k)
+    # Clamp: small grids (C < pre_top_k) would crash lax.top_k at trace time.
+    obj_scores, top_idx = jax.lax.top_k(probs, min(pre_top_k, probs.shape[0]))
     # Einsum in the model's compute dtype (f32 accumulation on the MXU);
     # the (K, H, W) candidate tensor stays bf16 under bf16 inference —
     # halving the dominant HBM traffic of the selection path.
@@ -149,8 +159,10 @@ def _select_from_logits(top_logits, obj_scores, num_slots, score_threshold,
     top_scores = obj_scores * quality * (area > 0)
     top_scores = jnp.where(top_scores >= score_threshold, top_scores, 0.0)
 
-    if nms == "matrix":
-        final_scores = matrix_nms(top_binary, top_scores, sigma=nms_sigma)
+    if nms in ("matrix", "matrix_linear"):
+        final_scores = matrix_nms(
+            top_binary, top_scores, sigma=nms_sigma,
+            kind="linear" if nms == "matrix_linear" else "gauss")
     elif nms == "greedy":
         keep = greedy_nms(top_binary, top_scores, iou_threshold=nms_iou_threshold)
         final_scores = keep * top_scores
@@ -158,8 +170,16 @@ def _select_from_logits(top_logits, obj_scores, num_slots, score_threshold,
         raise ValueError(f"unknown nms {nms!r}")
     final_scores = jnp.where(final_scores >= score_threshold, final_scores, 0.0)
 
-    slot_scores, slot_pos = jax.lax.top_k(final_scores, num_slots)
-    slot_masks = top_probs[slot_pos]
+    kk = final_scores.shape[0]
+    if kk >= num_slots:
+        slot_scores, slot_pos = jax.lax.top_k(final_scores, num_slots)
+        slot_masks = top_probs[slot_pos]
+    else:  # tiny grids: fewer candidates than slots — pad with empties
+        order = jnp.argsort(-final_scores)
+        slot_scores = jnp.zeros((num_slots,), final_scores.dtype
+                                ).at[:kk].set(final_scores[order])
+        slot_masks = jnp.zeros((num_slots,) + top_probs.shape[1:],
+                               top_probs.dtype).at[:kk].set(top_probs[order])
     slot_masks = slot_masks * (slot_scores[:, None, None] > 0)
     return slot_masks, slot_scores
 
@@ -187,7 +207,7 @@ def select_instances(
     # Prefilter by objectness FIRST (top-k over C cheap scalars), then do
     # the expensive per-pixel work (sigmoid/binarize/quality) on only the
     # pre_top_k survivors — C/pre_top_k less VPU traffic on the hot path.
-    obj_scores, top_idx = jax.lax.top_k(probs, pre_top_k)
+    obj_scores, top_idx = jax.lax.top_k(probs, min(pre_top_k, probs.shape[0]))
     top_logits = mask_logits[top_idx].astype(jnp.float32)
     return _select_from_logits(
         top_logits, obj_scores, num_slots, score_threshold, mask_threshold,

@@ -35,8 +35,12 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     """(out_size, in_size) row-stochastic linear-interpolation matrix."""
     if in_size == out_size:
         return np.eye(out_size, dtype=np.float32)
-    if align_corners and out_size > 1:
-        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    if align_corners:
+        # out_size == 1: torch samples index 0 (NOT the input center, which
+        # the half-pixel fallback would give — verified vs F.interpolate).
+        src = (np.zeros(1, dtype=np.float64) if out_size == 1 else
+               np.arange(out_size, dtype=np.float64) * (in_size - 1)
+               / (out_size - 1))
     else:
         scale = in_size / out_size
         src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5

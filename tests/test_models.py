@@ -16,7 +16,13 @@ def test_forward_shapes(backbone):
     out = m.apply({"params": params, "batch_stats": bs},
                   jnp.zeros((2, 64, 64, 3)), False)
     assert out.saliency_logits.shape == (2, 16, 16, 1)
-    assert len(out.saliency_aux) == 4
+    # aux deep-supervision outputs exist ONLY in training (they feed only
+    # the loss; inference skips their convs/resizes entirely)
+    assert len(out.saliency_aux) == 0
+    out_t, _ = m.apply({"params": params, "batch_stats": bs},
+                       jnp.zeros((2, 64, 64, 3)), True,
+                       mutable=["batch_stats"])
+    assert len(out_t.saliency_aux) == 4
     assert out.cell_scores.shape == (2, 8, 8, 1)
     assert out.cell_kernels.shape == (2, 8, 8, 32)
     assert out.mask_feats.shape == (2, 16, 16, 32)

@@ -106,3 +106,52 @@ def test_select_from_kernels_matches_select_instances(rng):
                                            pre_top_k=6)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+
+
+def test_matrix_nms_suppresses_exact_ties():
+    """Bit-identical duplicate candidates (tied scores) must suppress each
+    other — strict > comparison alone kept both at full score."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basi_tpu.ops.nms import matrix_nms
+
+    m = np.zeros((2, 16, 16), np.float32)
+    m[:, 4:12, 4:12] = 1.0  # identical masks
+    scores = jnp.asarray([0.9, 0.9])
+    out = np.asarray(matrix_nms(jnp.asarray(m), scores, sigma=2.0))
+    assert out[0] == 0.9          # index tiebreak: first keeps full score
+    assert out[1] < 0.9 * np.exp(-0.9)  # second heavily decayed (IoU 1)
+
+
+def test_select_small_grid_fewer_candidates_than_slots():
+    """grid C < pre_top_k AND C < num_slots must not crash lax.top_k and
+    must pad empty slots with zero scores."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basi_tpu.ops.nms import select_instances_from_kernels
+
+    rng = np.random.RandomState(0)
+    mf = jnp.asarray(rng.rand(16, 16, 8).astype(np.float32))
+    kernels = jnp.asarray(rng.rand(9, 8).astype(np.float32))  # 3x3 grid
+    cell_scores = jnp.asarray(rng.rand(9).astype(np.float32) * 4 - 2)
+    masks, scores = select_instances_from_kernels(
+        mf, kernels, cell_scores, num_slots=20, pre_top_k=64)
+    assert masks.shape == (20, 16, 16) and scores.shape == (20,)
+    assert np.all(np.asarray(scores)[9:] == 0.0)
+
+
+def test_matrix_linear_nms_reachable():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basi_tpu.ops.nms import select_instances_from_kernels
+
+    rng = np.random.RandomState(1)
+    mf = jnp.asarray(rng.rand(16, 16, 8).astype(np.float32))
+    kernels = jnp.asarray(rng.rand(16, 8).astype(np.float32))
+    cell_scores = jnp.asarray(rng.rand(16).astype(np.float32))
+    masks, scores = select_instances_from_kernels(
+        mf, kernels, cell_scores, num_slots=4, nms="matrix_linear")
+    assert masks.shape[0] == 4

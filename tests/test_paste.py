@@ -35,3 +35,22 @@ def test_paste_batch_shapes():
         jnp.asarray([[32, 32], [16, 32]]),
     )
     assert out.shape == (2, 3, 32, 32)
+
+
+def test_paste_does_not_bleed_letterbox_padding():
+    """Bilinear taps must clamp to the valid letterbox region: the old
+    h-1/w-1 clamp blended the model's padding-area predictions into the
+    bottom/right border rows (0.625 instead of 0.5 here)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basi_tpu.ops.paste import paste_mask
+
+    mask = np.full((8, 8), 1.0, np.float32)  # padding area = 1.0
+    mask[:6, :] = 0.5                        # valid content = 0.5
+    out = np.asarray(paste_mask(
+        jnp.asarray(mask), jnp.asarray([6, 8]), (16, 16),
+        jnp.asarray([12, 16])))
+    content = out[:12, :16]
+    np.testing.assert_allclose(content, 0.5, atol=1e-6)
+    np.testing.assert_allclose(out[12:, :], 0.0, atol=1e-6)

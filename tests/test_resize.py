@@ -56,3 +56,22 @@ def test_upsample2x_matches_torch(rng):
     got = np.asarray(upsample2x(jnp.asarray(x)))
     want = _torch_resize(x, (40, 48), False)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_resize_to_one_pixel_align_corners_matches_torch():
+    """align_corners=True, out_size=1: torch samples index 0, not the input
+    center (the half-pixel fallback gave 1.5 for [0,1,2,3])."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from basi_tpu.ops.resize import resize_bilinear
+
+    x = np.arange(4, dtype=np.float32)
+    want = F.interpolate(
+        torch.tensor(x)[None, None, None, :], size=(1, 1),
+        mode="bilinear", align_corners=True)[0, 0].numpy()
+    got = np.asarray(resize_bilinear(
+        jnp.asarray(x)[None, :, None], (1, 1), align_corners=True))[..., 0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
