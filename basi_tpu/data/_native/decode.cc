@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <cmath>
 #include <algorithm>
 #include <atomic>
 #include <thread>
@@ -147,7 +148,11 @@ void letterbox(const Image& src, int size, bool nearest, uint8_t* out) {
   std::vector<int64_t> fx(vw);
   double rx = double(src.w) / vw;
   for (int j = 0; j < vw; ++j) {
-    double s = nearest ? std::min(double(src.w - 1), j * rx)
+    // nearest: CENTER convention floor((j+0.5)*rx), matching PIL NEAREST
+    // (the PIL fallback decoder) — the origin convention floor(j*rx)
+    // sampled different source pixels, so GT masks differed by backend.
+    double s = nearest ? std::min(double(src.w - 1),
+                                  std::floor((j + 0.5) * rx))
                        : std::max(0.0, (j + 0.5) * rx - 0.5);
     int lo = std::min(int(s), src.w - 1);
     x0[j] = lo;
@@ -156,7 +161,8 @@ void letterbox(const Image& src, int size, bool nearest, uint8_t* out) {
   }
   double ry = double(src.h) / vh;
   for (int i = 0; i < vh; ++i) {
-    double s = nearest ? std::min(double(src.h - 1), i * ry)
+    double s = nearest ? std::min(double(src.h - 1),
+                                  std::floor((i + 0.5) * ry))
                        : std::max(0.0, (i + 0.5) * ry - 0.5);
     int ylo = std::min(int(s), src.h - 1);
     int yhi = std::min(ylo + 1, src.h - 1);

@@ -32,6 +32,37 @@ class Sample:
     name: str = ""
 
 
+def decode_label_letterbox(path: str, size: int) -> np.ndarray:
+    """Decode a LABELED mask PNG to raw per-pixel instance ids, nearest-
+    letterboxed to (size, size).
+
+    Labeled masks ('pixel value k>0 = instance k') must NEVER go through an
+    RGB conversion: a palettized (VOC-style) PNG's ids live in the palette
+    INDICES, and converting to RGB maps distinct ids to colors that can
+    collide in any single channel (e.g. (0,128,0) and (0,0,128) both have
+    R=0), silently merging or erasing instances. PIL 'P'/'L'/'I' modes
+    return the raw indices directly. Nearest sampling uses the center
+    convention floor((j+0.5)*scale) — identical to PIL NEAREST and the
+    native decoder's nearest path.
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode not in ("P", "L", "I", "I;16"):
+            arr = np.asarray(im)
+            if arr.ndim == 3:  # RGB-coded labels: keep prior R-channel rule
+                arr = arr[..., 0]
+        else:
+            arr = np.asarray(im)
+    h, w = arr.shape[:2]
+    vh, vw = letterbox_params(h, w, size)
+    ys = np.minimum(((np.arange(vh) + 0.5) * (h / vh)).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(vw) + 0.5) * (w / vw)).astype(np.int64), w - 1)
+    out = np.zeros((size, size), arr.dtype)
+    out[:vh, :vw] = arr[ys[:, None], xs[None, :]]
+    return out
+
+
 def letterbox_params(orig_h: int, orig_w: int, size: int) -> tuple[int, int]:
     """Content size after aspect-preserving resize into a size x size box.
 
@@ -134,10 +165,13 @@ class FolderDataset:
         )
         vh, vw = letterbox_params(oh, ow, self.size)
         kind, paths = self._mask_jobs(stem)
-        decoded = []
-        for p in paths:
-            m, _ = self.decoder.decode_letterbox(p, self.size, nearest=True)
-            decoded.append(m[..., 0] if m.ndim == 3 else m)
+        if kind == "labeled":  # index-preserving decode (palette ids!)
+            decoded = [decode_label_letterbox(paths[0], self.size)]
+        else:
+            decoded = []
+            for p in paths:
+                m, _ = self.decoder.decode_letterbox(p, self.size, nearest=True)
+                decoded.append(m[..., 0] if m.ndim == 3 else m)
         masks, valid = self._assemble_masks(kind, decoded)
         return Sample(
             img, masks, valid,
@@ -192,15 +226,21 @@ class FolderDataset:
             [os.path.join(self.img_dir, n) for n in names], self.size)
 
         jobs = [self._mask_jobs(s) for s in stems]
-        flat_paths = [p for _, ps in jobs for p in ps]
+        # Only per-instance binary masks go through the C++ batch decoder;
+        # LABELED masks need the index-preserving path (palette ids would
+        # be destroyed by the RGB conversion — see decode_label_letterbox).
+        flat_paths = [p for kind, ps in jobs if kind == "per" for p in ps]
         if flat_paths:
             mask_imgs, _ = self.decoder.decode_letterbox_batch(
                 flat_paths, self.size, nearest=True)
         out = []
         cursor = 0
         for si, (kind, ps) in enumerate(jobs):
-            decoded = [mask_imgs[cursor + j][..., 0] for j in range(len(ps))]
-            cursor += len(ps)
+            if kind == "labeled":
+                decoded = [decode_label_letterbox(ps[0], self.size)]
+            else:
+                decoded = [mask_imgs[cursor + j][..., 0] for j in range(len(ps))]
+                cursor += len(ps)
             masks, valid = self._assemble_masks(kind, decoded)
             oh, ow = int(hws[si][0]), int(hws[si][1])
             vh, vw = letterbox_params(oh, ow, self.size)
@@ -234,7 +274,8 @@ def make_dataset(cfg_data, split: str | None = None):
 
 
 def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
-               drop_last: bool = True) -> Iterator[dict[str, np.ndarray]]:
+               drop_last: bool = True,
+               skip: int = 0) -> Iterator[dict[str, np.ndarray]]:
     """Host-side batch assembly (decode is delegated to the dataset).
 
     With ``drop_last=False`` the tail batch is padded to the static batch
@@ -242,12 +283,17 @@ def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
     samples are genuine so eval can skip the padded duplicates (padding
     must never be double-counted into AP/MAE — it exists only to keep the
     XLA program shape static).
+
+    ``skip``: drop the first N *batches* at index level (mid-epoch resume)
+    — the skipped batches are never decoded, and because the shuffled
+    order depends only on (seed), the remaining schedule is exactly the
+    one an uninterrupted epoch would have produced.
     """
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
     end = len(idx) - (len(idx) % batch_size if drop_last else 0)
-    for start in range(0, end, batch_size):
+    for start in range(skip * batch_size, end, batch_size):
         chunk = idx[start:start + batch_size]
         num_real = len(chunk)
         if num_real < batch_size:

@@ -46,10 +46,11 @@ class DeviceFeed:
             put[k] = jax.device_put(v, self.sharding(v))
         return put
 
-    def epoch(self, epoch_idx: int) -> Iterator[dict]:
+    def epoch(self, epoch_idx: int, skip: int = 0) -> Iterator[dict]:
         host_iter = iter_epoch(
             self.dataset, self.batch_size, self.shuffle,
             seed=self.seed + epoch_idx, drop_last=self.drop_last,
+            skip=skip,
         )
         if self.debug_sync:
             for hb in host_iter:

@@ -46,32 +46,41 @@ def f_measure(pred: jnp.ndarray, target: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("num_thresholds",))
 def f_measure_hist(pred: jnp.ndarray, target: jnp.ndarray,
-                   beta2: float = 0.3, num_thresholds: int = 64) -> jnp.ndarray:
-    """Per-image F-beta curve over thresholds k/T, k=1..T — O(N*H*W) memory.
+                   beta2: float = 0.3, num_thresholds: int = 64,
+                   valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-image F-beta curve over thresholds k/T, k=1..T-1 — O(N*H*W) mem.
 
     The broadcasted sweep in :func:`f_measure` materializes (T, N, H, W);
     at full 512^2 eval resolution that is ~270 MB per batch. This version
     histograms each prediction into T bins (one scatter-add pass), then
     reverse-cumsums the per-bin counts: tp(k) = #(pred >= k/T & gt),
-    pp(k) = #(pred >= k/T). Returns the (T, N) F matrix so a streaming
-    evaluator can average per-image F over the dataset before taking the
-    max (the SOD literature's dataset-level max-F convention).
+    pp(k) = #(pred >= k/T). Threshold 0 is EXCLUDED: its row (every pixel
+    positive) gives a degenerate F equal to the GT prior, which would put
+    a false floor under the reported max-F. Returns the (T-1, N) F matrix
+    so a streaming evaluator can average per-image F over the dataset
+    before taking the max (the SOD dataset-level max-F convention).
+
+    ``valid``: optional (N, H, W) 0/1 mask restricting the metric to the
+    letterbox content region (padding pixels otherwise count as trivially
+    correct negatives, deflating the metric for non-square images).
     """
     t_count = num_thresholds
-    p = pred.astype(jnp.float32).reshape(pred.shape[0], -1)
+    n = pred.shape[0]
+    p = pred.astype(jnp.float32).reshape(n, -1)
     t = (target.astype(jnp.float32) > 0.5).astype(jnp.float32)
-    t = t.reshape(t.shape[0], -1)
+    t = t.reshape(n, -1)
+    w = (jnp.ones_like(p) if valid is None
+         else valid.reshape(n, -1).astype(jnp.float32))
+    t = t * w
     # bin b means p in [b/T, (b+1)/T); pred >= k/T <=> bin >= k
     bins = jnp.clip((p * t_count).astype(jnp.int32), 0, t_count - 1)
 
-    def hists(b, w):
-        all_h = jnp.zeros((t_count,), jnp.float32).at[b].add(1.0)
-        pos_h = jnp.zeros((t_count,), jnp.float32).at[b].add(w)
+    def hists(b, tw, ww):
+        all_h = jnp.zeros((t_count,), jnp.float32).at[b].add(ww)
+        pos_h = jnp.zeros((t_count,), jnp.float32).at[b].add(tw)
         return all_h, pos_h
 
-    all_h, pos_h = jax.vmap(hists)(bins, t)  # (N, T) each
-    # reverse cumsum over bins, drop bin 0 (threshold k=1..T-1), keep T rows
-    # by including the ">= 0" row last replaced with ">= (T-1)/T" ordering:
+    all_h, pos_h = jax.vmap(hists)(bins, t, w)  # (N, T) each
     pp = jnp.cumsum(all_h[:, ::-1], axis=1)[:, ::-1]  # (N, T): #(bin >= k)
     tp = jnp.cumsum(pos_h[:, ::-1], axis=1)[:, ::-1]
     gt_area = jnp.sum(t, axis=1, keepdims=True)
@@ -79,4 +88,4 @@ def f_measure_hist(pred: jnp.ndarray, target: jnp.ndarray,
     recall = tp / jnp.maximum(gt_area, _EPS)
     f = ((1 + beta2) * precision * recall
          / jnp.maximum(beta2 * precision + recall, _EPS))
-    return f.T  # (T, N)
+    return f[:, 1:].T  # (T-1, N): thresholds k/T, k=1..T-1

@@ -150,7 +150,8 @@ class Inferencer:
         from basi_tpu.ops.resize import resize_bilinear
 
         @jax.jit
-        def eval_batch(params, batch_stats, images_u8, gt_masks, gt_valid):
+        def eval_batch(params, batch_stats, images_u8, gt_masks, gt_valid,
+                       valid_hw):
             """One fused eval program per batch: forward + selection +
             FULL-RESOLUTION matching IoU + saliency metrics. Matching at /4
             with maxpooled GT (round 1) dilates thin GT structures and
@@ -168,8 +169,17 @@ class Inferencer:
                 gt_masks.astype(jnp.float32) * gv[..., None, None], axis=1)
             prob = jax.nn.sigmoid(sal.astype(jnp.float32))  # (N, h, w, 1)
             prob_full = resize_bilinear(prob, (size, size))[..., 0]
-            mae_per = jnp.mean(jnp.abs(prob_full - union), axis=(1, 2))
-            f_mat = f_measure_hist(prob_full, union)  # (T, N)
+            # Restrict saliency metrics to the letterbox CONTENT region:
+            # padding pixels (GT trivially 0) would otherwise count as
+            # correct negatives, deflating MAE/perturbing precision for any
+            # non-square image vs the SOD content-resolution protocol.
+            rows = jnp.arange(size)[None, :, None] < valid_hw[:, 0][:, None, None]
+            cols = jnp.arange(size)[None, None, :] < valid_hw[:, 1][:, None, None]
+            content = (rows & cols).astype(jnp.float32)  # (N, H, W)
+            area = jnp.maximum(jnp.sum(content, axis=(1, 2)), 1.0)
+            mae_per = jnp.sum(jnp.abs(prob_full - union) * content,
+                              axis=(1, 2)) / area
+            f_mat = f_measure_hist(prob_full, union, valid=content)  # (T-1, N)
             # The PNG path reuses ``full`` (already computed for the IoU
             # matrix) rather than re-running the upsample — but returning
             # the (N, K, size, size) tensor keeps it live in HBM for up to
@@ -285,6 +295,7 @@ class Inferencer:
                 masks, scores, iou, mae_per, f_mat, full = self._eval_batch(
                     self.params, self.batch_stats, batch["image"],
                     jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]),
+                    jnp.asarray(batch["valid_hw"]),
                 )
                 del masks  # full-res ``full`` supersedes it in the drain
                 pending.append((bi, batch, scores, iou, mae_per, f_mat, full))

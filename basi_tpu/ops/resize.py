@@ -120,3 +120,16 @@ def upsample2x(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
     """2x bilinear upsample of NHWC ``x`` (FPN top-down path)."""
     _, h, w, _ = x.shape
     return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)
+
+
+def maxpool_hw(x, fh: int, fw: int):
+    """Exact integer-factor maxpool over the trailing (H, W) dims.
+
+    Single source of truth for GT-mask downsampling: the train step's /4
+    ingest downsample, targets._assignment_core, and the loss's saliency
+    union MUST agree exactly for the sparse/dense loss equivalence and the
+    "downsample-then-flip commutes" claims to hold (review r2)."""
+    import jax.numpy as jnp
+
+    *lead, h, w = x.shape
+    return jnp.max(x.reshape(*lead, h // fh, fh, w // fw, fw), axis=(-3, -1))

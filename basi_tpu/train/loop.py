@@ -52,13 +52,21 @@ class Trainer:
             seed=cfg.train.seed, sharding=sharding,
             depth=cfg.data.prefetch_depth,
         )
-        steps_per_epoch = self.feed.steps_per_epoch() or cfg.train.steps_per_epoch
+        steps_per_epoch = self.feed.steps_per_epoch()
+        if steps_per_epoch <= 0:
+            # A dataset smaller than the batch yields ZERO batches with
+            # drop_last — "training" would silently run 0 steps per epoch
+            # and still write checkpoints of untouched weights.
+            raise ValueError(
+                f"dataset ({len(self.dataset)} samples) yields no full "
+                f"batch of {cfg.data.batch_size}; shrink data.batch_size "
+                f"or point data.root at the right split")
         self.max_steps = steps_per_epoch * cfg.train.epochs
         self.steps_per_epoch = steps_per_epoch
 
         self.tx, self.schedule = make_optimizer(cfg.train, self.max_steps)
         self.state = create_train_state(
-            self.model, cfg.model, cfg.train, self.max_steps
+            self.model, cfg.model, cfg.train, self.max_steps, tx=self.tx
         )
         self.train_step = make_train_step(
             self.model, self.tx, cfg.train, cfg.data,
@@ -81,21 +89,25 @@ class Trainer:
         last_metrics: dict = {}
         host_step = start_step
         last_saved_step = start_step if start_step else -1
+        steps_since_mark = 0
         with maybe_trace(cfg.profile, cfg.profile_dir):
             for epoch in range(start_epoch, cfg.train.epochs):
                 # Mid-epoch resume: batch order is (seed, epoch)-pure, so
                 # skipping the first ``already`` batches reproduces the
                 # exact remaining schedule instead of retraining them (and
-                # overshooting max_steps / the poly LR schedule).
+                # overshooting max_steps / the poly LR schedule). The skip
+                # happens at INDEX level inside the feed — skipped batches
+                # are never decoded or uploaded.
                 already = host_step - epoch * self.steps_per_epoch
-                for bi, batch in enumerate(self.feed.epoch(epoch)):
-                    if bi < already:
-                        continue
+                self.timer.mark()  # reset the window (eval/ckpt time out)
+                steps_since_mark = 0
+                for batch in self.feed.epoch(epoch, skip=already):
                     self.state, metrics = self.train_step(self.state, batch)
                     # Track the step on the host: fetching state.step would
                     # force a device sync EVERY step (~30 ms on the axon
                     # relay), serializing the pipeline.
                     host_step += 1
+                    steps_since_mark += 1
                     step = host_step
                     if step % cfg.train.log_every == 0 or step == self.max_steps:
                         # fetch BEFORE marking time: device_get is the only
@@ -103,13 +115,15 @@ class Trainer:
                         fetched = {k: float(jax.device_get(v))
                                    for k, v in metrics.items()}
                         ms = self.timer.mark()
+                        nsteps = max(1, steps_since_mark)
+                        steps_since_mark = 0
                         lr = float(self.schedule(step))
                         rec = {
                             "step": step, "epoch": epoch,
                             "lr": round(lr, 6),
-                            "step_ms": round(ms / max(1, cfg.train.log_every), 2),
+                            "step_ms": round(ms / nsteps, 2),
                             "imgs_per_s": round(
-                                cfg.data.batch_size * cfg.train.log_every
+                                cfg.data.batch_size * nsteps
                                 / max(ms / 1000.0, 1e-9), 1)
                             if ms > 0 else 0.0,
                         }

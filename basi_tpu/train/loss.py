@@ -104,9 +104,8 @@ def basi_loss(
     gh, gw = union.shape[1:]
     sh, sw = outputs.saliency_logits.shape[1:3]
     fh, fw = gh // sh, gw // sw
-    union_small = jnp.max(
-        union.reshape(n, sh, fh, sw, fw), axis=(2, 4)
-    ).astype(jnp.float32)
+    from basi_tpu.ops.resize import maxpool_hw
+    union_small = maxpool_hw(union, fh, fw).astype(jnp.float32)
     sal = saliency_loss(outputs.saliency_logits, union_small, kind=loss_kind,
                         axis_name=axis_name)
     for aux in outputs.saliency_aux:

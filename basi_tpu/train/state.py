@@ -51,11 +51,16 @@ def make_optimizer(cfg, max_steps: int) -> tuple[optax.GradientTransformation, o
     return optax.chain(*chain), sched
 
 
-def create_train_state(model, cfg_model, cfg_train, max_steps: int) -> TrainState:
+def create_train_state(model, cfg_model, cfg_train, max_steps: int,
+                       tx=None) -> TrainState:
+    """``tx``: pass the caller's optimizer so opt_state is initialized by
+    the SAME transformation object that will consume it (falls back to
+    constructing an identical one from the config)."""
     from basi_tpu.models.basi import init_model
 
     params, batch_stats = init_model(model, cfg_model.image_size, cfg_train.seed)
-    tx, _ = make_optimizer(cfg_train, max_steps)
+    if tx is None:
+        tx, _ = make_optimizer(cfg_train, max_steps)
     opt_state = tx.init(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

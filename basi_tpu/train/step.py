@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from basi_tpu.data.transforms import random_augment
+from basi_tpu.ops.resize import maxpool_hw
 from basi_tpu.ops.pallas.normalize_aug import (
     normalize_and_flip,
     normalize_and_flip_reference,
@@ -122,10 +123,8 @@ def make_train_step(
             # tensor + its flips/reduces from the step (measured ~10 ms of
             # the 78 ms bf16 batch-16 step at 512^2 on v5e).
             m_u8 = batch["masks"]
-            nn, mm, gh, gw = m_u8.shape
             f = 4  # mask-feature stride (BASIOutputs.mask_feats is H/4)
-            small = jnp.max(
-                m_u8.reshape(nn, mm, gh // f, f, gw // f, f), axis=(3, 5))
+            small = maxpool_hw(m_u8, f, f)
             small = jnp.where(flip[:, None, None, None] > 0,
                               jnp.flip(small, axis=3), small)
             masks = small.astype(jnp.float32)

@@ -102,9 +102,8 @@ def _assignment_core(
     m, gh, gw = gt_masks.shape
     fh, fw = gh // mh, gw // mw
     if fh * mh == gh and fw * mw == gw and fh >= 1:
-        small = jnp.max(
-            gt_masks.reshape(m, mh, fh, mw, fw), axis=(2, 4)
-        ).astype(jnp.float32)
+        from basi_tpu.ops.resize import maxpool_hw
+        small = maxpool_hw(gt_masks, fh, fw).astype(jnp.float32)
     else:  # non-integer factor fallback: bilinear + threshold
         from basi_tpu.ops.resize import resize_bilinear
         small = (

@@ -242,3 +242,54 @@ def test_device_feed_abandoned_epoch_releases_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_labeled_palette_png_preserves_instance_ids(tmp_path):
+    """VOC-style palettized labeled masks: ids live in palette INDICES; an
+    RGB conversion would collide ids sharing a channel value (e.g. palette
+    colors (0,128,0) and (0,0,128) both have R=0) and merge instances."""
+    from PIL import Image
+
+    from basi_tpu.data.datasets import FolderDataset
+
+    root = tmp_path / "ds"
+    (root / "images").mkdir(parents=True)
+    (root / "masks").mkdir()
+    img = np.zeros((64, 64, 3), np.uint8)
+    Image.fromarray(img).save(root / "images" / "a.png")
+
+    lab = np.zeros((64, 64), np.uint8)
+    lab[8:24, 8:24] = 1
+    lab[40:56, 40:56] = 2
+    pil = Image.fromarray(lab, mode="P")
+    # palette where ids 1 and 2 collide in EVERY RGB channel-0 readout
+    pal = [0, 0, 0, 0, 128, 0, 0, 0, 128] + [0] * (768 - 9)
+    pil.putpalette(pal)
+    pil.save(root / "masks" / "a.png")
+
+    ds = FolderDataset(str(root), image_size=64, max_instances=4)
+    s = ds.get(0)
+    assert int(s.valid.sum()) == 2  # both instances survive
+    assert s.masks[0].sum() > 0 and s.masks[1].sum() > 0
+    np.testing.assert_array_equal(s.masks[0], (lab == 1).astype(np.uint8))
+    np.testing.assert_array_equal(s.masks[1], (lab == 2).astype(np.uint8))
+    # the batch path must agree exactly
+    s2 = ds.get_batch([0])[0]
+    np.testing.assert_array_equal(s.masks, s2.masks)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native decoder not built")
+def test_nearest_convention_native_matches_pil(tmp_path):
+    """Nearest letterbox (GT mask resize) must sample the SAME source
+    pixels on both backends (center convention floor((j+0.5)*scale))."""
+    from PIL import Image
+
+    from basi_tpu.data.native import get_decoder
+
+    rng = np.random.RandomState(0)
+    m = (rng.rand(96, 128) > 0.5).astype(np.uint8) * 255
+    p = str(tmp_path / "m.png")
+    Image.fromarray(m).save(p)
+    a, _ = get_decoder("native").decode_letterbox(p, 64, nearest=True)
+    b, _ = get_decoder("pil").decode_letterbox(p, 64, nearest=True)
+    np.testing.assert_array_equal(a, b)

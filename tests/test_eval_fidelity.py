@@ -85,7 +85,8 @@ def test_eval_batch_uses_full_res_matching():
     batch = next(iter_epoch(ds, 2, shuffle=False, seed=0, drop_last=False))
     masks, scores, iou, mae_per, f_mat, _ = inf._eval_batch(
         inf.params, inf.batch_stats, batch["image"],
-        jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]))
+        jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]),
+        jnp.asarray(batch["valid_hw"]))
     full = inf.full_res_masks(masks)
     pm = (np.asarray(full) > inf.cfg.infer.mask_threshold).astype(np.float32)
     for i in range(2):

@@ -39,12 +39,42 @@ def test_f_measure_hist_matches_bruteforce(rng):
     p = (bins + 0.5) / t_count
     t = (rng.rand(2, 16, 16) > 0.5).astype(np.float32)
     f_mat = np.asarray(f_measure_hist(jnp.asarray(p, jnp.float32),
-                                      jnp.asarray(t)))  # (T, N)
+                                      jnp.asarray(t)))  # (T-1, N), k=1..T-1
+    assert f_mat.shape[0] == t_count - 1  # threshold 0 row is excluded
     # brute force per threshold k/T
-    for k in [0, 1, 17, 40, 63]:
+    for k in [1, 17, 40, 63]:
         binp = (p >= k / t_count).astype(np.float32)
         tp = (binp * t).sum(axis=(1, 2))
         prec = tp / np.maximum(binp.sum(axis=(1, 2)), 1e-8)
         rec = tp / np.maximum(t.sum(axis=(1, 2)), 1e-8)
         f = 1.3 * prec * rec / np.maximum(0.3 * prec + rec, 1e-8)
-        np.testing.assert_allclose(f_mat[k], f, atol=1e-5)
+        np.testing.assert_allclose(f_mat[k - 1], f, atol=1e-5)
+
+
+def test_f_measure_hist_excludes_degenerate_threshold_zero(rng):
+    """An all-ones prediction at threshold 0 would give F == GT-prior; the
+    returned curve must not contain that false max-F floor."""
+    from basi_tpu.evals.saliency import f_measure_hist
+
+    t = (rng.rand(1, 16, 16) > 0.8).astype(np.float32)  # sparse GT
+    p = np.zeros((1, 16, 16), np.float32)  # model predicts nothing
+    f_mat = np.asarray(f_measure_hist(jnp.asarray(p), jnp.asarray(t)))
+    assert float(f_mat.max()) < 1e-6  # no degenerate all-positive row
+
+
+def test_f_measure_hist_valid_mask_restricts_to_content(rng):
+    """Padding pixels must not contribute: metrics over the masked region
+    must equal metrics on the cropped content."""
+    from basi_tpu.evals.saliency import f_measure_hist
+
+    full = np.zeros((1, 16, 16), np.float32)
+    gt = (rng.rand(1, 12, 16) > 0.5).astype(np.float32)
+    pr = rng.rand(1, 12, 16).astype(np.float32)
+    gt_full = full.copy(); gt_full[:, :12] = gt
+    pr_full = full.copy(); pr_full[:, :12] = pr
+    valid = np.zeros((1, 16, 16), np.float32); valid[:, :12] = 1.0
+    got = np.asarray(f_measure_hist(jnp.asarray(pr_full),
+                                    jnp.asarray(gt_full),
+                                    valid=jnp.asarray(valid)))
+    want = np.asarray(f_measure_hist(jnp.asarray(pr), jnp.asarray(gt)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
