@@ -101,14 +101,23 @@ def cmd_import(args) -> int:
 
         params, stats = import_basinet(sd, stage_sizes)
     else:
-        from basi_tpu.convert.torch_import import import_resnet50_backbone
+        from basi_tpu.convert.torch_import import (
+            import_resnet50_backbone,
+            import_vgg16_backbone,
+            merge_backbone,
+        )
         from basi_tpu.models.basi import create_model, init_model
 
         model = create_model(cfg.model)
         params, stats = init_model(model, cfg.model.image_size)
-        bb_params, bb_stats = import_resnet50_backbone(sd, stage_sizes)
-        params["backbone"] = bb_params
-        stats["backbone"] = bb_stats
+        if cfg.model.backbone == "vgg16":
+            bb_params, bb_stats = import_vgg16_backbone(sd)
+        elif cfg.model.backbone in ("resnet50", "resnet_tiny"):
+            bb_params, bb_stats = import_resnet50_backbone(sd, stage_sizes)
+        else:
+            raise ValueError(
+                f"backbone import unsupported for {cfg.model.backbone!r}")
+        params, stats = merge_backbone(params, stats, bb_params, bb_stats)
 
     _check_against_template(cfg, params, stats)
     export_params(args.out, params, stats)
@@ -156,9 +165,9 @@ def _check_against_template(cfg, params, stats):
 
 
 def cmd_bench(args) -> int:
-    import bench as bench_mod  # repo-root bench.py
+    from basi_tpu.benchmark import run  # packaged: works installed too
 
-    return bench_mod.run(mode=args.mode)
+    return run(mode=args.mode)
 
 
 def main(argv=None) -> int:

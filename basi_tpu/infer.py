@@ -48,20 +48,21 @@ class Inferencer:
         import os
 
         cfg = self.cfg
-        tmpl_p, tmpl_b = init_model(self.model, cfg.model.image_size)
         has_steps = os.path.isdir(checkpoint) and any(
             d.isdigit() for d in os.listdir(checkpoint))
         if has_steps:
-            from basi_tpu.train.state import create_train_state, make_optimizer
+            # create_train_state performs its own init_model — do NOT init
+            # a second throwaway template here (it doubles startup cost).
+            from basi_tpu.train.state import create_train_state
             from basi_tpu.utils.checkpoint import CheckpointManager
 
-            model = self.model
-            template = create_train_state(model, cfg.model, cfg.train, 1)
+            template = create_train_state(self.model, cfg.model, cfg.train, 1)
             mgr = CheckpointManager(checkpoint)
             state = mgr.restore(template)
             return state.params, state.batch_stats
         from basi_tpu.utils.checkpoint import load_params
 
+        tmpl_p, tmpl_b = init_model(self.model, cfg.model.image_size)
         restored = load_params(
             checkpoint, {"params": tmpl_p, "batch_stats": tmpl_b})
         return restored["params"], restored["batch_stats"]
@@ -261,14 +262,19 @@ class Inferencer:
         pending: deque = deque()
 
         png_ms = 0.0
+        t_steady = None  # set after the FIRST batch completes (see below)
+        png_at_steady = 0.0
 
         def drain_one():
             nonlocal n_img, n_batches, sal_mae_sum, f_sum, png_ms
+            nonlocal t_steady, png_at_steady
             bi, batch, scores, iou, mae_per, f_mat, full = pending.popleft()
-            scores_h = np.asarray(jax.device_get(scores))
-            iou_h = np.asarray(jax.device_get(iou))
-            mae_h = np.asarray(jax.device_get(mae_per))
-            f_h = np.asarray(jax.device_get(f_mat))
+            # ONE batched fetch: each device_get pays a full relay round
+            # trip (~25-30 ms on axon, bench.py note) — 4 sequential fetches
+            # were 4 round trips on the timed path.
+            scores_h, iou_h, mae_h, f_h = (
+                np.asarray(x)
+                for x in jax.device_get((scores, iou, mae_per, f_mat)))
             nreal = int(batch["num_real"])
             for i in range(nreal):  # padded tail duplicates are skipped
                 acc.add(scores_h[i], iou_h[i], batch["valid"][i])
@@ -283,6 +289,13 @@ class Inferencer:
                 tp = _time.perf_counter()
                 self._save_batch_pngs(bi, batch, full, scores_h)
                 png_ms += (_time.perf_counter() - tp) * 1000
+            if t_steady is None:
+                # The first batch's fetch forced jit trace + XLA compile;
+                # start the steady-state throughput clock AFTER it so
+                # infer_ms_per_batch measures execution, not compilation
+                # (bench.py warms up for the same reason).
+                t_steady = _time.perf_counter()
+                png_at_steady = png_ms
 
         with maybe_trace(cfg.profile, cfg.profile_dir):
             t0 = _time.perf_counter()
@@ -304,18 +317,24 @@ class Inferencer:
             while pending:
                 drain_one()
             total_ms = (_time.perf_counter() - t0) * 1000
+            steady_ms = ((_time.perf_counter() - t_steady) * 1000
+                         if t_steady is not None else total_ms)
 
         metrics = acc.ap()
         if n_img:
             metrics["saliency_mae"] = round(sal_mae_sum / n_img, 4)
             metrics["saliency_maxF"] = round(float(np.max(f_sum / n_img)), 4)
-        if n_batches:
-            per_batch = (total_ms - png_ms) / n_batches
+        if n_batches > 1:
+            per_batch = (steady_ms - (png_ms - png_at_steady)) / (n_batches - 1)
             metrics["infer_ms_per_batch"] = round(per_batch, 2)
             metrics["imgs_per_s"] = round(
                 cfg.infer.batch_size / (per_batch / 1000), 1)
             if png_ms:
                 metrics["png_ms_per_batch"] = round(png_ms / n_batches, 2)
+        elif n_batches:  # single batch: compile-inclusive, best we can do
+            metrics["infer_ms_per_batch"] = round(total_ms - png_ms, 2)
+            metrics["imgs_per_s"] = round(
+                cfg.infer.batch_size / max((total_ms - png_ms) / 1000, 1e-9), 1)
         metrics["num_images"] = n_img
         if logger:
             logger.log(metrics, prefix="[eval]")

@@ -44,6 +44,7 @@ class BatchedPredictor:
         self._pack_s2d = (getattr(cfg.model, "stem_mode", "conv7") == "s2d"
                           and cfg.model.backbone != "vgg16")
         self.max_wait = max_wait_ms / 1000.0
+        self._scan_cache: dict = {}
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -51,8 +52,14 @@ class BatchedPredictor:
 
     def predict(self, image_u8: np.ndarray) -> Prediction:
         """Blocking single-image API; batching happens transparently."""
+        if self._stop.is_set():
+            raise RuntimeError("predictor is closed")
         if image_u8.shape != (self.size, self.size, 3):
             raise ValueError(f"expected ({self.size},{self.size},3) uint8")
+        if image_u8.dtype != np.uint8:
+            # a float image would be silently value-truncated by the uint8
+            # batch buffer and produce confident garbage
+            raise ValueError(f"expected uint8 pixels, got {image_u8.dtype}")
         done = threading.Event()
         slot: list = [None]
         self._q.put((image_u8, slot, done))
@@ -61,21 +68,13 @@ class BatchedPredictor:
             raise slot[0]
         return slot[0]
 
-    def predict_many(self, images_u8: np.ndarray, scan_batches: int = 8):
-        """Bulk scoring: (N, H, W, 3) -> list[Prediction]. N is padded up to
-        a multiple of batch*scan_batches and processed with one program
-        execution per scan group."""
-        n = len(images_u8)
-        group = self.batch * scan_batches
-        padded = -(-n // group) * group
-        buf = np.zeros((padded, self.size, self.size, 3), np.uint8)
-        buf[:n] = images_u8
-        if self._pack_s2d:
-            from basi_tpu.data.transforms import space_to_depth_host
-
-            buf = space_to_depth_host(buf)
-        batches = jnp.asarray(buf.reshape(-1, self.batch, *buf.shape[1:]))
-
+    def _run_scan_fn(self, scan_batches: int):
+        """One compiled scan program per scan width, built once and reused
+        (a per-call @jax.jit closure would retrace + recompile every
+        predict_many invocation — jit caches by function identity)."""
+        cached = self._scan_cache.get(scan_batches)
+        if cached is not None:
+            return cached
         run = self.inf.run_fn
 
         @jax.jit
@@ -86,11 +85,31 @@ class BatchedPredictor:
             _, out = jax.lax.scan(body, 0.0, group_batches)
             return out
 
+        self._scan_cache[scan_batches] = run_scan
+        return run_scan
+
+    def predict_many(self, images_u8: np.ndarray, scan_batches: int = 8):
+        """Bulk scoring: (N, H, W, 3) -> list[Prediction]. N is padded up to
+        a multiple of batch*scan_batches and processed with one program
+        execution per scan group. Only one GROUP is resident on device at a
+        time, so bulk size is bounded by host RAM, not HBM."""
+        n = len(images_u8)
+        group = self.batch * scan_batches
+        padded = -(-n // group) * group
+        buf = np.zeros((padded, self.size, self.size, 3), np.uint8)
+        buf[:n] = images_u8
+        if self._pack_s2d:
+            from basi_tpu.data.transforms import space_to_depth_host
+
+            buf = space_to_depth_host(buf)
+        host_batches = buf.reshape(-1, self.batch, *buf.shape[1:])
+
+        run_scan = self._run_scan_fn(scan_batches)
         preds = []
         for g in range(padded // group):
-            masks, scores = run_scan(
-                self.inf.params, self.inf.batch_stats,
-                batches[g * scan_batches:(g + 1) * scan_batches])
+            dev = jnp.asarray(
+                host_batches[g * scan_batches:(g + 1) * scan_batches])
+            masks, scores = run_scan(self.inf.params, self.inf.batch_stats, dev)
             masks = np.asarray(jax.device_get(masks)).reshape(
                 group, *masks.shape[2:])
             scores = np.asarray(jax.device_get(scores)).reshape(group, -1)
@@ -116,14 +135,17 @@ class BatchedPredictor:
                     items.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            buf = np.zeros((self.batch, self.size, self.size, 3), np.uint8)
-            for i, (img, _, _) in enumerate(items):
-                buf[i] = img
-            if self._pack_s2d:
-                from basi_tpu.data.transforms import space_to_depth_host
-
-                buf = space_to_depth_host(buf)
             try:
+                # packing inside the try too: a packing error must fail
+                # these requests, not kill the worker and hang the callers
+                buf = np.zeros((self.batch, self.size, self.size, 3),
+                               np.uint8)
+                for i, (img, _, _) in enumerate(items):
+                    buf[i] = img
+                if self._pack_s2d:
+                    from basi_tpu.data.transforms import space_to_depth_host
+
+                    buf = space_to_depth_host(buf)
                 masks, scores, _ = self.inf.predict_batch(jnp.asarray(buf))
                 masks = np.asarray(jax.device_get(masks))
                 scores = np.asarray(jax.device_get(scores))
@@ -138,3 +160,12 @@ class BatchedPredictor:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=2)
+        # Fail any request enqueued in the shutdown window — its caller is
+        # blocked on done.wait() and nothing will ever serve it.
+        while True:
+            try:
+                _, slot, done = self._q.get_nowait()
+            except queue.Empty:
+                break
+            slot[0] = RuntimeError("predictor closed")
+            done.set()
