@@ -88,11 +88,14 @@ class BatchedPredictor:
         self._scan_cache[scan_batches] = run_scan
         return run_scan
 
-    def predict_many(self, images_u8: np.ndarray, scan_batches: int = 8):
+    def predict_many(self, images_u8: np.ndarray, scan_batches: int = 32):
         """Bulk scoring: (N, H, W, 3) -> list[Prediction]. N is padded up to
         a multiple of batch*scan_batches and processed with one program
         execution per scan group. Only one GROUP is resident on device at a
-        time, so bulk size is bounded by host RAM, not HBM."""
+        time, so bulk size is bounded by host RAM, not HBM. The default
+        scan width amortizes the ~25-30 ms per-dispatch relay round trip
+        to <0.1 ms/batch (measured: 32-batch scans still paid ~0.9 ms/batch
+        — see basi_tpu.benchmark)."""
         n = len(images_u8)
         group = self.batch * scan_batches
         padded = -(-n // group) * group
