@@ -2,11 +2,16 @@
 
 The reference normalizes and augments on the host inside DataLoader workers
 (SURVEY §2.5/§3.3). TPU-native redesign: the host ships raw uint8 RGB
-batches (4x less PCIe/HBM traffic than float32) and this kernel fuses
-  uint8 -> f32/255 -> (x - mean) / std -> optional horizontal flip
-in a single VMEM pass per image. The flip decision is a per-image scalar
-prefetched to SMEM, so augmentation is deterministic given the PRNG-derived
-flags computed in the jitted train step.
+batches (4x less PCIe/HBM traffic than float32); the flip is applied as a
+cheap XLA where/flip on the UINT8 bytes (1/4 the traffic of flipping the
+normalized float tensor), then the kernel fuses
+  uint8 -> i32 -> f32/255 -> (x - mean) / std
+in one VMEM pass over flattened (H, W*C) row blocks with the per-channel
+affine pre-tiled into a (1, W*C) row. (The i32 hop exists because Mosaic
+has no direct u8->f32 cast; the (H, W*C) flattening avoids padding the
+C=3 lane dim to 128 — the round-1 VMEM blowup.) Augmentation stays
+deterministic given the PRNG-derived flip flags computed in the jitted
+train step.
 """
 
 from __future__ import annotations

@@ -54,6 +54,9 @@ def upsample_sigmoid(
     lead = mask_logits.shape[:-2]
     h, w = mask_logits.shape[-2:]
     oh, ow = out_hw
+    if (h, w) == (oh, ow):  # identity resize: skip two dense MXU matmuls
+        return jax.nn.sigmoid(
+            mask_logits.astype(jnp.float32)).astype(out_dtype)
     x = mask_logits.reshape((-1, h, w))
     b = x.shape[0]
 
@@ -85,12 +88,19 @@ def upsample_sigmoid_reference(
     mask_logits: jnp.ndarray,
     out_hw: tuple[int, int],
     align_corners: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Unfused XLA reference implementation (for tests / non-TPU backends)."""
+    """Unfused XLA reference implementation (for tests / non-TPU backends).
+
+    Mirrors the kernel's numerics exactly: f32 interpolation at HIGHEST
+    precision and an ``out_dtype`` (default f32) output — a bf16 input must
+    NOT select resize_bilinear's bf16 DEFAULT-precision path (~2.4e-3
+    error, over the 1e-3 parity budget) or eval output would depend on
+    which backend ran it."""
     from basi_tpu.ops.resize import resize_bilinear
 
     lead = mask_logits.shape[:-2]
     h, w = mask_logits.shape[-2:]
-    x = mask_logits.reshape((-1, h, w, 1))
+    x = mask_logits.reshape((-1, h, w, 1)).astype(jnp.float32)
     y = resize_bilinear(x, out_hw, align_corners=align_corners)
-    return jax.nn.sigmoid(y[..., 0]).reshape(*lead, *out_hw)
+    return jax.nn.sigmoid(y[..., 0]).reshape(*lead, *out_hw).astype(out_dtype)

@@ -32,19 +32,28 @@ def maybe_initialize() -> bool:
     nproc = os.environ.get("BASI_NUM_PROCESSES")
     pid = os.environ.get("BASI_PROCESS_ID")
     if coord and nproc and pid:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(nproc),
-            process_id=int(pid),
-        )
-        _initialized = True
+        _init(coordinator_address=coord, num_processes=int(nproc),
+              process_id=int(pid))
         return True
     if os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1:
         # Multi-worker TPU pod slice: JAX infers everything.
-        jax.distributed.initialize()
-        _initialized = True
+        _init()
         return True
     return False
+
+
+def _init(**kwargs) -> None:
+    """jax.distributed.initialize, idempotent against EXTERNAL init too: a
+    launcher framework (or a module reload) may already have initialized
+    the runtime — re-initializing raises 'already initialized', which for
+    our purposes means success."""
+    global _initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+    _initialized = True
 
 
 def process_info() -> tuple[int, int]:

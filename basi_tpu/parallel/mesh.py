@@ -36,18 +36,38 @@ def make_mesh(
             )
         devices = devices[:num_devices]
     n = len(devices)
-    if spatial_axis and spatial_shards > 1:
+    if bool(spatial_axis) != (spatial_shards > 1):
+        # A named-but-unsharded (or sharded-but-unnamed) spatial axis would
+        # silently build a data-only mesh; downstream P(data, spatial)
+        # specs then fail far from the misconfiguration.
+        raise ValueError(
+            f"inconsistent spatial config: spatial_axis={spatial_axis!r}, "
+            f"spatial_shards={spatial_shards} (set both or neither)")
+    if spatial_axis:
         if n % spatial_shards:
             raise ValueError(f"{n} devices not divisible by {spatial_shards}")
-        arr = np.asarray(devices).reshape(n // spatial_shards, spatial_shards)
-        return Mesh(arr, (data_axis, spatial_axis))
-    return Mesh(np.asarray(devices), (data_axis,))
+        shape = (n // spatial_shards, spatial_shards)
+        axes = (data_axis, spatial_axis)
+    else:
+        shape = (n,)
+        axes = (data_axis,)
+    try:
+        # ICI-topology-aware assignment: spatial-neighbor shards exchange
+        # conv halos every layer, so they should be physically adjacent.
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:  # virtual/odd device sets: plain enumeration order
+        arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axes)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh, data_axis: str = "data") -> int:
     n = mesh.shape[data_axis]
     if global_batch % n:
-        raise ValueError(f"global batch {global_batch} not divisible by {n} devices")
+        raise ValueError(
+            f"global batch {global_batch} not divisible by the {n}-shard "
+            f"{data_axis!r} mesh axis")
     return global_batch // n
 
 
