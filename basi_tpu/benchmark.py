@@ -79,7 +79,7 @@ def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict
     }
 
 
-def _bench_train(batch_size: int = 16, iters: int = 10, warmup: int = 3) -> dict:
+def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3) -> dict:
     import dataclasses
 
     import jax
