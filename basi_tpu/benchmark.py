@@ -44,12 +44,12 @@ def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict
     #    asymptote ~1280).
     k = iters
     raw = (rng.rand(k, batch_size, size, size, 3) * 255).astype(np.uint8)
-    if getattr(cfg.model, "stem_mode", "conv7") == "s2d":
+    from basi_tpu.data.transforms import space_to_depth_host, wants_s2d_feed
+
+    if wants_s2d_feed(cfg.model):
         # Feed in the stem's native pre-packed s2d format (the data
         # pipeline's feed layout for s2d models): same bytes, arranged on
         # the host, so the device program pays zero reorder copies.
-        from basi_tpu.data.transforms import space_to_depth_host
-
         raw = np.stack([space_to_depth_host(b) for b in raw])
     batches = jnp.asarray(raw)
 
@@ -69,6 +69,28 @@ def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict
         float(jax.device_get(run_many(inf.params, inf.batch_stats, batches)))
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
+
+    # Methodology pin: a refactor that quietly shrinks the scan width (or
+    # reverts to per-dispatch timing) would re-pay the ~25-30 ms relay
+    # round trip per batch and read ~25% low. Measure one single-batch
+    # dispatch and require it to be <= 10% of a full timed run — i.e. the
+    # scan must amortize the dispatch overhead to noise (t_single/k per
+    # batch against dt/k derived ms/batch).
+    m0, s0, _ = inf.predict_batch(batches[0])
+    float(jax.device_get(jnp.sum(s0)))  # compile + warm the 1-batch program
+    singles = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        m0, s0, _ = inf.predict_batch(batches[0])
+        float(jax.device_get(jnp.sum(s0)))
+        singles.append(time.perf_counter() - t0)
+    t_single = min(singles)
+    if t_single > 0.10 * dt:
+        raise RuntimeError(
+            f"bench methodology violated: single-dispatch time "
+            f"{t_single * 1e3:.1f} ms is {t_single / dt:.1%} of the "
+            f"{k}-batch scan ({dt * 1e3:.1f} ms) — per-dispatch overhead "
+            f"is no longer amortized (scan width too small?)")
 
     imgs_per_s = batch_size * k / dt
     return {

@@ -93,6 +93,14 @@ def cmd_import(args) -> int:
     from basi_tpu.utils.checkpoint import export_params
 
     cfg = _build_cfg(args)
+    if args.what == "full" and cfg.model.backbone not in ("resnet50",
+                                                          "resnet_tiny"):
+        # Fail BEFORE loading the torch file: import_basinet only maps
+        # ResNet-style state_dicts; letting e.g. vgg16 fall through used to
+        # die with an opaque missing-key error deep in the converter.
+        raise ValueError(
+            f"full import unsupported for backbone {cfg.model.backbone!r} "
+            f"(ResNet state_dicts only; use --what backbone for vgg16)")
     sd = _load_torch_state_dict(args.torch)
     stage_sizes = ((1, 1, 1, 1) if cfg.model.backbone == "resnet_tiny"
                    else (3, 4, 6, 3))

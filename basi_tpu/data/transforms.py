@@ -93,6 +93,16 @@ def random_augment(rng: jax.Array, images: jnp.ndarray, masks: jnp.ndarray,
     return imgs, msks, flip
 
 
+def wants_s2d_feed(model_or_cfg) -> bool:
+    """True when the model consumes the host-packed space-to-depth uint8
+    feed (``space_to_depth_host`` layout). Single source of truth for the
+    predicate shared by infer/serve/benchmark: s2d applies only to the
+    ResNet stem — VGG16 keeps the raw 3-channel input (feeding it a
+    12-channel batch would crash at trace time, far from the cause)."""
+    return (getattr(model_or_cfg, "stem_mode", "conv7") == "s2d"
+            and getattr(model_or_cfg, "backbone", "") != "vgg16")
+
+
 def space_to_depth_host(imgs: "np.ndarray", block: int = 2):
     """Host-side (numpy) twin of models.resnet.space_to_depth for the uint8
     feed: (N, H, W, C) -> (N, H/b, W/b, b*b*C), identical channel order.

@@ -103,8 +103,9 @@ class Inferencer:
         # model (round-1 profile: ~0.8 ms of layout copies per batch-8),
         # and the s2d stem conv then runs dense on the MXU instead of the
         # ~1.5 ms MXU-hostile 7x7/s2 conv over 3 channels.
-        stem_s2d = (getattr(model, "stem_mode", "conv7") == "s2d"
-                    and model.backbone != "vgg16")
+        from basi_tpu.data.transforms import wants_s2d_feed
+
+        stem_s2d = wants_s2d_feed(model)
         from basi_tpu.models.resnet import space_to_depth
 
         @jax.jit
@@ -330,7 +331,11 @@ class Inferencer:
             metrics["imgs_per_s"] = round(
                 cfg.infer.batch_size / (per_batch / 1000), 1)
             if png_ms:
-                metrics["png_ms_per_batch"] = round(png_ms / n_batches, 2)
+                # Same steady-state window as infer_ms_per_batch: the
+                # compile-inclusive first batch is excluded from BOTH
+                # per-batch numbers so they are comparable.
+                metrics["png_ms_per_batch"] = round(
+                    (png_ms - png_at_steady) / (n_batches - 1), 2)
         elif n_batches:  # single batch: compile-inclusive, best we can do
             metrics["infer_ms_per_batch"] = round(total_ms - png_ms, 2)
             metrics["imgs_per_s"] = round(

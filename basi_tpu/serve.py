@@ -35,35 +35,72 @@ class BatchedPredictor:
     """Thread-safe request batcher over a compiled BASI pipeline."""
 
     def __init__(self, cfg: Config, checkpoint: str = "",
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_pending: int = 256):
         self.inf = Inferencer(cfg, checkpoint=checkpoint)
         self.batch = cfg.infer.batch_size
         self.size = cfg.model.image_size
         # s2d models take the host-packed feed format: same bytes, zero
         # device-side reorder copies (see transforms.space_to_depth_host).
-        self._pack_s2d = (getattr(cfg.model, "stem_mode", "conv7") == "s2d"
-                          and cfg.model.backbone != "vgg16")
+        from basi_tpu.data.transforms import wants_s2d_feed
+
+        self._pack_s2d = wants_s2d_feed(cfg.model)
         self.max_wait = max_wait_ms / 1000.0
         self._scan_cache: dict = {}
-        self._q: queue.Queue = queue.Queue()
+        # Bounded: an unbounded queue would buffer a caller burst into
+        # unbounded host memory while the device falls behind; callers past
+        # ``max_pending`` block (up to their timeout) — backpressure, not
+        # OOM. The lock closes the check-then-act race between predict's
+        # _stop check + enqueue and close's drain: without it a request
+        # could slip into the queue after the drain and hang forever.
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
-    def predict(self, image_u8: np.ndarray) -> Prediction:
-        """Blocking single-image API; batching happens transparently."""
-        if self._stop.is_set():
-            raise RuntimeError("predictor is closed")
+    def predict(self, image_u8: np.ndarray,
+                timeout: float | None = None) -> Prediction:
+        """Blocking single-image API; batching happens transparently.
+
+        ``timeout`` (seconds) bounds the WHOLE call — enqueue backpressure
+        plus device execution. On expiry raises TimeoutError (a still-
+        queued request may later be served and discarded; nothing leaks).
+        A dead worker raises RuntimeError instead of hanging the caller.
+        """
+        import time
+
         if image_u8.shape != (self.size, self.size, 3):
             raise ValueError(f"expected ({self.size},{self.size},3) uint8")
         if image_u8.dtype != np.uint8:
             # a float image would be silently value-truncated by the uint8
             # batch buffer and produce confident garbage
             raise ValueError(f"expected uint8 pixels, got {image_u8.dtype}")
+        deadline = None if timeout is None else time.perf_counter() + timeout
         done = threading.Event()
         slot: list = [None]
-        self._q.put((image_u8, slot, done))
-        done.wait()
+        item = (image_u8, slot, done)
+        while True:  # enqueue with backpressure
+            with self._lock:
+                if self._stop.is_set():
+                    raise RuntimeError("predictor is closed")
+                try:
+                    self._q.put_nowait(item)
+                    break
+                except queue.Full:
+                    pass
+            if not self._worker.is_alive():
+                raise RuntimeError("predictor worker died")
+            if deadline is not None and time.perf_counter() >= deadline:
+                raise TimeoutError(
+                    f"predict: request queue full ({self._q.maxsize} "
+                    f"pending) for {timeout}s")
+            time.sleep(0.002)
+        while not done.wait(0.1):  # await result, noticing a dead worker
+            if not self._worker.is_alive() and not done.is_set():
+                raise RuntimeError(
+                    "predictor worker died with this request pending")
+            if deadline is not None and time.perf_counter() >= deadline:
+                raise TimeoutError(f"predict: no result within {timeout}s")
         if isinstance(slot[0], BaseException):
             raise slot[0]
         return slot[0]
@@ -120,6 +157,15 @@ class BatchedPredictor:
         return preds[:n]
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        finally:
+            # The worker is exiting — orderly (close) or by a bug escaping
+            # _loop_inner. Either way nothing will ever serve the queue
+            # again: fail the stragglers instead of hanging their callers.
+            self._drain_fail("predictor worker exited")
+
+    def _loop_inner(self):
         while not self._stop.is_set():
             items = []
             try:
@@ -161,14 +207,21 @@ class BatchedPredictor:
                     done.set()
 
     def close(self):
-        self._stop.set()
+        with self._lock:
+            # Under the same lock as predict's check+enqueue: once set, no
+            # new request can slip into the queue behind the drain.
+            self._stop.set()
         self._worker.join(timeout=2)
-        # Fail any request enqueued in the shutdown window — its caller is
-        # blocked on done.wait() and nothing will ever serve it.
+        self._drain_fail("predictor closed")
+
+    def _drain_fail(self, reason: str):
+        """Fail every queued request — its caller is blocked on done.wait()
+        and nothing will ever serve it. Idempotent (worker-exit + close
+        may both drain)."""
         while True:
             try:
                 _, slot, done = self._q.get_nowait()
             except queue.Empty:
                 break
-            slot[0] = RuntimeError("predictor closed")
+            slot[0] = RuntimeError(reason)
             done.set()

@@ -53,6 +53,67 @@ def test_ap_streams_across_images():
     np.testing.assert_allclose(a1.ap()["AP@0.5"], a2.ap()["AP@0.5"], atol=1e-12)
 
 
+def _naive_ap(images, thresholds=(0.5, 0.7)):
+    """Straight-line per-threshold COCO matching + 101-pt AP (the spec the
+    vectorized accumulator must reproduce bit-for-bit)."""
+    ladder = tuple(np.round(np.arange(0.5, 1.0, 0.05), 2))
+    all_thr = sorted(set(thresholds) | set(ladder))
+    entries, num_gt = [], 0
+    for scores, iou, gt_valid in images:
+        gt_valid = gt_valid.astype(bool)
+        num_gt += int(gt_valid.sum())
+        matched = {t: np.zeros(iou.shape[1], bool) for t in all_thr}
+        for k in np.argsort(-scores, kind="stable"):
+            if scores[k] <= 0:
+                continue
+            tp = {}
+            for t in all_thr:
+                cand = np.where(gt_valid & ~matched[t] & (iou[k] >= t))[0]
+                if cand.size:
+                    matched[t][cand[np.argmax(iou[k][cand])]] = True
+                    tp[t] = True
+                else:
+                    tp[t] = False
+            entries.append((float(scores[k]), tp))
+    entries.sort(key=lambda e: -e[0])
+    ap_by_thr = {}
+    for t in all_thr:
+        tps = np.array([e[1][t] for e in entries], bool)
+        tp_cum, fp_cum = np.cumsum(tps), np.cumsum(~tps)
+        recall = tp_cum / num_gt
+        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+        prec_interp = np.maximum.accumulate(precision[::-1])[::-1]
+        idx = np.searchsorted(recall, np.linspace(0, 1, 101), side="left")
+        p = np.where(idx < len(prec_interp),
+                     prec_interp[np.minimum(idx, len(prec_interp) - 1)], 0.0)
+        ap_by_thr[t] = float(p.mean())
+    out = {f"AP@{t}": ap_by_thr[t] for t in thresholds}
+    out["mAP"] = float(np.mean([ap_by_thr[t] for t in ladder]))
+    return out
+
+
+def test_ap_vectorized_matches_naive_reference():
+    """Randomized equivalence: the threshold-vectorized add()/ap() must
+    reproduce the per-threshold greedy loop exactly (incl. score ties and
+    padded GT slots)."""
+    rng = np.random.RandomState(7)
+    images = []
+    acc = APAccumulator(thresholds=(0.5, 0.7))
+    for _ in range(120):
+        k, m = rng.randint(1, 20), rng.randint(1, 8)
+        # Quantized scores force ties; zero scores exercise pad skipping.
+        scores = np.round(rng.rand(k) * 4) / 4
+        iou = np.round(rng.rand(k, m) * 20) / 20
+        gt_valid = (rng.rand(m) > 0.2).astype(np.uint8)
+        images.append((scores, iou, gt_valid))
+        acc.add(scores, iou, gt_valid)
+    want = _naive_ap(images)
+    got = acc.ap()
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_allclose(got[key], want[key], atol=1e-12, err_msg=key)
+
+
 def test_ap_ignores_zero_score_and_invalid_gt():
     acc = APAccumulator(thresholds=(0.5,))
     # second GT slot invalid; zero-score preds are padding and skipped

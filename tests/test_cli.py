@@ -118,6 +118,17 @@ def test_cli_import_torch_full(tmp_path, capsys):
     assert rc == 0
 
 
+def test_cli_import_full_rejects_vgg16(tmp_path):
+    """--what full only maps ResNet state_dicts; a vgg16 config must get a
+    clear error BEFORE any torch file is touched (not an opaque missing-key
+    crash inside the converter)."""
+    with pytest.raises(ValueError, match="full import unsupported"):
+        main(["import", *TINY,
+              "--set", "model.backbone=vgg16",
+              "--torch", f"{tmp_path}/nonexistent.pth",
+              "--out", f"{tmp_path}/imported"])
+
+
 def test_cli_import_shape_mismatch_fails(tmp_path):
     """Silent conversion mismatches surface only as AP drift — the CLI must
     fail fast with a readable diff instead."""
