@@ -27,6 +27,12 @@ class ModelConfig:
     # layout copies. s2d stays available (bit-exact, tested) — revisit if
     # the ingest step learns to emit s2d layout directly.
     stem_mode: str = "conv7"  # conv7 | s2d
+    # Instance extraction mechanism (SURVEY §2.8): "kernels" = cell-grid
+    # dynamic-kernel head + mask NMS; "connected" = connected components
+    # of the thresholded saliency map (ops/connected.py) — the swap hedge
+    # behind the same (masks, scores) slot contract. Inference-time only;
+    # training always supervises the kernel head.
+    instance_mechanism: str = "kernels"  # kernels | connected
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     param_dtype: str = "float32"
 
@@ -98,6 +104,11 @@ class InferConfig:
     pre_nms_top_k: int = 64
     output_dir: str = "./out"
     save_png: bool = False
+    # Match AP at ORIGINAL image resolution (the reference's protocol:
+    # paste predictions to original size, then evaluate) instead of inside
+    # the 512^2 letterbox frame. Needs original-resolution GT from the
+    # dataset (FolderDataset/SyntheticDataset provide get_orig_masks).
+    ap_at_original: bool = False
     dtype: str = "bfloat16"
 
 

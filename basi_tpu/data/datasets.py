@@ -80,29 +80,51 @@ class SyntheticDataset:
 
     Deterministic per (seed, index); no files, no decode — exercises the
     full train/eval path (SURVEY §4 item 3).
+
+    ``orig_max_scale > 1``: scenes are generated at a per-index
+    NON-SQUARE original resolution up to that multiple of ``image_size``
+    and letterboxed down — exercising the original-resolution AP protocol
+    (paste + native-GT matching) without files. ``get_orig_masks`` serves
+    the native-resolution GT either way.
     """
 
     def __init__(self, n: int = 256, image_size: int = 512,
-                 max_instances: int = 8, seed: int = 0):
+                 max_instances: int = 8, seed: int = 0,
+                 orig_max_scale: float = 1.0):
         self.n = n
         self.size = image_size
         self.max_instances = max_instances
         self.seed = seed
+        self.orig_max_scale = orig_max_scale
 
     def __len__(self) -> int:
         return self.n
 
-    def get(self, i: int) -> Sample:
+    def _dims(self, i: int) -> tuple[int, int]:
+        if self.orig_max_scale <= 1.0:
+            return self.size, self.size
+        # Separate RNG stream: scene draws stay identical for a given
+        # (seed, index) regardless of the original-resolution setting.
+        rng = np.random.RandomState((self.seed * 7919 + i * 31 + 7) % (2 ** 31))
+        r1, r2 = rng.rand(2)
+        oh = int(self.size * (1.0 + r1 * (self.orig_max_scale - 1.0)))
+        ow = int(self.size * (1.0 + r2 * (self.orig_max_scale - 1.0)))
+        if oh == ow:
+            ow += 1  # force non-square (that's the point of the mode)
+        return oh, ow
+
+    def _scene(self, i: int, oh: int, ow: int):
+        """(image (oh, ow, 3) u8, masks (M, oh, ow) u8, valid (M,) u8)."""
         rng = np.random.RandomState((self.seed * 1_000_003 + i) % (2 ** 31))
-        s = self.size
-        img = (rng.rand(s, s, 3) * 60 + 40).astype(np.uint8)  # noisy bg
+        img = (rng.rand(oh, ow, 3) * 60 + 40).astype(np.uint8)  # noisy bg
         k = rng.randint(1, self.max_instances + 1)
-        masks = np.zeros((self.max_instances, s, s), np.uint8)
-        yy, xx = np.mgrid[0:s, 0:s]
+        masks = np.zeros((self.max_instances, oh, ow), np.uint8)
+        yy, xx = np.mgrid[0:oh, 0:ow]
         for m in range(k):
-            cy, cx = rng.randint(s // 8, 7 * s // 8, size=2)
-            ry = rng.randint(s // 16, s // 5)
-            rx = rng.randint(s // 16, s // 5)
+            cy = rng.randint(oh // 8, 7 * oh // 8)
+            cx = rng.randint(ow // 8, 7 * ow // 8)
+            ry = rng.randint(oh // 16, oh // 5)
+            rx = rng.randint(ow // 16, ow // 5)
             ang = rng.rand() * np.pi
             ca, sa = np.cos(ang), np.sin(ang)
             u = (xx - cx) * ca + (yy - cy) * sa
@@ -115,11 +137,41 @@ class SyntheticDataset:
             color = rng.randint(100, 255, size=3)
             img[ell] = (0.7 * color + 0.3 * img[ell]).astype(np.uint8)
         valid = np.array(
-            [1 if masks[m].sum() > 16 else 0 for m in range(self.max_instances)],
-            np.uint8,
-        )
-        hw = np.array([s, s], np.int32)
-        return Sample(img, masks, valid, hw, hw, name=f"synthetic_{i}")
+            [1 if masks[m].sum() > 16 else 0
+             for m in range(self.max_instances)], np.uint8)
+        return img, masks, valid
+
+    def get(self, i: int) -> Sample:
+        s = self.size
+        oh, ow = self._dims(i)
+        img, masks, valid = self._scene(i, oh, ow)
+        if (oh, ow) == (s, s):
+            hw = np.array([s, s], np.int32)
+            return Sample(img, masks, valid, hw, hw, name=f"synthetic_{i}")
+        # Letterbox exactly like the decoders: bilinear image content,
+        # center-convention nearest masks, top-left zero pad.
+        from PIL import Image
+
+        vh, vw = letterbox_params(oh, ow, s)
+        img_lb = np.zeros((s, s, 3), np.uint8)
+        img_lb[:vh, :vw] = np.asarray(
+            Image.fromarray(img).resize((vw, vh), Image.BILINEAR))
+        ys = np.minimum(((np.arange(vh) + 0.5) * (oh / vh)).astype(np.int64),
+                        oh - 1)
+        xs = np.minimum(((np.arange(vw) + 0.5) * (ow / vw)).astype(np.int64),
+                        ow - 1)
+        masks_lb = np.zeros((self.max_instances, s, s), np.uint8)
+        masks_lb[:, :vh, :vw] = masks[:, ys[:, None], xs[None, :]]
+        return Sample(
+            img_lb, masks_lb, valid,
+            np.array([oh, ow], np.int32), np.array([vh, vw], np.int32),
+            name=f"synthetic_{i}")
+
+    def get_orig_masks(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """Native-resolution GT: (masks (M, oh, ow) u8, valid (M,) u8)."""
+        oh, ow = self._dims(i)
+        _, masks, valid = self._scene(i, oh, ow)
+        return masks, valid
 
 
 class FolderDataset:
@@ -213,6 +265,51 @@ class FolderDataset:
             ]
         return "none", []
 
+    def get_orig_masks(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """Native-resolution GT for original-frame AP matching: (masks
+        (max_instances, oh, ow) u8, valid (M,) u8) — no letterboxing, same
+        id-expansion/binarization rules as ``_assemble_masks``. Eval-path
+        only (runs once per image), so plain PIL decode is fine here."""
+        from PIL import Image
+
+        stem = os.path.splitext(self.names[i])[0]
+        kind, paths = self._mask_jobs(stem)
+        decoded = []
+        if kind == "labeled":
+            with Image.open(paths[0]) as im:
+                if im.mode not in ("P", "L", "I", "I;16"):
+                    arr = np.asarray(im)
+                    if arr.ndim == 3:
+                        arr = arr[..., 0]
+                else:
+                    arr = np.asarray(im)
+            decoded = [arr]
+        else:
+            for p in paths:
+                with Image.open(p) as im:
+                    a = np.asarray(im)
+                decoded.append(a[..., 0] if a.ndim == 3 else a)
+        if not decoded:
+            img, (oh, ow) = self.decoder.decode_letterbox(
+                os.path.join(self.img_dir, self.names[i]), self.size)
+            return (np.zeros((self.max_instances, oh, ow), np.uint8),
+                    np.zeros((self.max_instances,), np.uint8))
+        oh, ow = decoded[0].shape[:2]
+        masks = np.zeros((self.max_instances, oh, ow), np.uint8)
+        count = 0
+        if kind == "labeled":
+            lab = decoded[0]
+            for v in [v for v in np.unique(lab) if v > 0][: self.max_instances]:
+                masks[count] = (lab == v).astype(np.uint8)
+                count += 1
+        else:
+            for m in decoded[: self.max_instances]:
+                masks[count] = (m > 127).astype(np.uint8)
+                count += 1
+        valid = np.zeros((self.max_instances,), np.uint8)
+        valid[:count] = 1
+        return masks, valid
+
     def get_batch(self, indices) -> list[Sample]:
         """Batch decode on the C++ thread pool (GIL-free): ONE call decodes
         every image in the batch concurrently, a second decodes all GT mask
@@ -275,7 +372,8 @@ def make_dataset(cfg_data, split: str | None = None):
 
 def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
                drop_last: bool = True,
-               skip: int = 0) -> Iterator[dict[str, np.ndarray]]:
+               skip: int = 0,
+               rows: np.ndarray | None = None) -> Iterator[dict[str, np.ndarray]]:
     """Host-side batch assembly (decode is delegated to the dataset).
 
     With ``drop_last=False`` the tail batch is padded to the static batch
@@ -288,6 +386,12 @@ def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
     — the skipped batches are never decoded, and because the shuffled
     order depends only on (seed), the remaining schedule is exactly the
     one an uninterrupted epoch would have produced.
+
+    ``rows``: positions WITHIN each global batch to materialize (sorted).
+    Multi-host feeding (SURVEY §5.8): every process runs the identical
+    (seed, epoch)-pure schedule, but decodes only the rows that land on
+    its own devices — batch arrays then have leading dim ``len(rows)``
+    while ``num_real`` still counts the GLOBAL batch's genuine samples.
     """
     idx = np.arange(len(dataset))
     if shuffle:
@@ -298,6 +402,8 @@ def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
         num_real = len(chunk)
         if num_real < batch_size:
             chunk = np.resize(chunk, batch_size)  # tiles, handles any ratio
+        if rows is not None:
+            chunk = chunk[rows]
         if hasattr(dataset, "get_batch"):
             samples = dataset.get_batch(chunk)
         else:
@@ -309,4 +415,7 @@ def iter_epoch(dataset, batch_size: int, shuffle: bool, seed: int,
             "orig_hw": np.stack([s.orig_hw for s in samples]),
             "valid_hw": np.stack([s.valid_hw for s in samples]),
             "num_real": np.int32(num_real),
+            # dataset indices of the (possibly row-subset) samples — the
+            # original-resolution AP path re-reads native GT by index
+            "index": chunk.astype(np.int64),
         }

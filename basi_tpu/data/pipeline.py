@@ -37,10 +37,35 @@ class DeviceFeed:
         self.depth = max(1, depth)
         self.drop_last = drop_last
         self.debug_sync = debug_sync
+        # Multi-host feed (SURVEY §5.8): with >1 process, this process
+        # decodes only the global-batch rows that land on its own devices
+        # and assembles global jax.Arrays from per-device shards. Rows are
+        # derived from the sharding itself, so any mesh device order works.
+        self._rows = None
+        if sharding is not None and jax.process_count() > 1:
+            from basi_tpu.parallel.dist_data import local_rows
+
+            row_sh = sharding(np.zeros((batch_size,), np.int32))
+            self._rows = local_rows(row_sh, batch_size)
 
     def _put_device(self, batch: dict[str, np.ndarray]):
         if self.sharding is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
+        if self._rows is not None:
+            from basi_tpu.parallel.dist_data import (
+                make_global_batch_array,
+                make_replicated_array,
+            )
+
+            put = {}
+            for k, v in batch.items():
+                sh = self.sharding(v)
+                if getattr(v, "ndim", 0) == 0:
+                    put[k] = make_replicated_array(v, sh)
+                else:
+                    put[k] = make_global_batch_array(
+                        v, sh, self.batch_size, self._rows)
+            return put
         put = {}
         for k, v in batch.items():
             put[k] = jax.device_put(v, self.sharding(v))
@@ -50,7 +75,7 @@ class DeviceFeed:
         host_iter = iter_epoch(
             self.dataset, self.batch_size, self.shuffle,
             seed=self.seed + epoch_idx, drop_last=self.drop_last,
-            skip=skip,
+            skip=skip, rows=self._rows,
         )
         if self.debug_sync:
             for hb in host_iter:

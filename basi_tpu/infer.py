@@ -28,8 +28,19 @@ from basi_tpu.utils.profiling import maybe_trace
 
 class Inferencer:
     def __init__(self, cfg: Config, model=None, params=None, batch_stats=None,
-                 checkpoint: str = ""):
+                 checkpoint: str = "", mesh=None, data_axis: str = "data"):
+        """``mesh``: optional data-parallel eval mesh (SURVEY §5.8). Eval
+        batches shard over ``data_axis``; per-image selection stays vmapped
+        per shard; the small metric tensors come back replicated (GSPMD
+        inserts the all_gather), so every host computes identical metrics.
+        """
         self.cfg = cfg
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None and cfg.infer.batch_size % mesh.shape[data_axis]:
+            raise ValueError(
+                f"infer.batch_size={cfg.infer.batch_size} not divisible by "
+                f"the {mesh.shape[data_axis]}-shard {data_axis!r} mesh axis")
         self.model = model or create_model(cfg.model)
         if params is None:
             if checkpoint:
@@ -77,6 +88,32 @@ class Inferencer:
                 lambda x: x.astype(jnp.bfloat16), batch_stats)
         self.params = params
         self.batch_stats = batch_stats or {}
+        self._replicate_weights()
+
+    def _replicate_weights(self):
+        """Pin weights replicated on the eval mesh: done once per weight
+        swap instead of per call, and required on multi-host meshes (jit
+        cannot auto-globalize a process-local array)."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+
+        def put(x):
+            if isinstance(x, jax.Array) and x.sharding == rep:
+                return x
+            host = jax.device_get(x)
+            if jax.process_count() > 1:
+                # No cross-host transfer: every process holds the same
+                # value, so each binds its own addressable replicas.
+                from basi_tpu.parallel.dist_data import make_replicated_array
+
+                return make_replicated_array(host, rep)
+            return jax.device_put(host, rep)
+
+        self.params = jax.tree.map(put, self.params)
+        self.batch_stats = jax.tree.map(put, self.batch_stats)
 
     def _build(self):
         cfg = self.cfg
@@ -108,6 +145,12 @@ class Inferencer:
         stem_s2d = wants_s2d_feed(model)
         from basi_tpu.models.resnet import space_to_depth
 
+        mechanism = getattr(cfg.model, "instance_mechanism", "kernels")
+        if mechanism not in ("kernels", "connected"):
+            raise ValueError(
+                f"model.instance_mechanism={mechanism!r} "
+                f"(expected 'kernels' or 'connected')")
+
         @jax.jit
         def run(params, batch_stats, images_u8):
             x = images_u8
@@ -128,6 +171,26 @@ class Inferencer:
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=False, with_candidates=False,
             )
+            if mechanism == "connected":
+                # SURVEY §2.8 swap hedge: instances = connected components
+                # of the thresholded saliency map, packed into the SAME
+                # fixed (num_slots, h, w) contract the kernel head fills —
+                # every downstream consumer (upsample, IoU, AP, paste,
+                # serving) is mechanism-agnostic.
+                from basi_tpu.ops.connected import extract_instances
+
+                sal_prob = jax.nn.sigmoid(
+                    out.saliency_logits[..., 0].astype(jnp.float32))
+                masks, scores = jax.vmap(
+                    lambda sp: extract_instances(
+                        sp, num_slots=cfg.model.num_slots,
+                        threshold=icfg.mask_threshold,
+                    )
+                )(sal_prob)
+                keep = scores >= icfg.score_threshold
+                scores = jnp.where(keep, scores, 0.0)
+                masks = masks * keep[..., None, None].astype(masks.dtype)
+                return masks, scores, out.saliency_logits
             n, s1, s2, e = out.cell_kernels.shape
             masks, scores = jax.vmap(
                 lambda mf, k, s: select_instances_from_kernels(
@@ -151,7 +214,6 @@ class Inferencer:
         from basi_tpu.evals.saliency import f_measure_hist
         from basi_tpu.ops.resize import resize_bilinear
 
-        @jax.jit
         def eval_batch(params, batch_stats, images_u8, gt_masks, gt_valid,
                        valid_hw):
             """One fused eval program per batch: forward + selection +
@@ -186,10 +248,82 @@ class Inferencer:
             # matrix) rather than re-running the upsample — but returning
             # the (N, K, size, size) tensor keeps it live in HBM for up to
             # ``lag`` batches, so only ship it when PNGs are requested.
-            full_out = full if icfg.save_png else jnp.zeros((), full.dtype)
-            return masks, scores, iou, mae_per, f_mat, full_out
+            want_full = icfg.save_png or getattr(icfg, "ap_at_original",
+                                                 False)
+            full_out = full if want_full else jnp.zeros((), full.dtype)
+            # gt_valid rides back as an output: on a multi-host mesh each
+            # process decodes only its own rows, but host AP accumulation
+            # needs the GLOBAL validity flags — the replicated output is
+            # the all_gather that provides them (and the single-host path
+            # uses the same fetch for uniformity).
+            return masks, scores, iou, mae_per, f_mat, gt_valid, full_out
 
-        self._eval_batch = eval_batch
+        if self.mesh is None:
+            self._eval_batch = jax.jit(eval_batch)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = NamedSharding(self.mesh, P(self.data_axis))
+            rep = NamedSharding(self.mesh, P())
+            # Batch-sharded inputs, replicated outputs: the forward /
+            # selection / IoU work runs data-parallel over the mesh;
+            # GSPMD all_gathers only the small metric tensors at the end.
+            self._eval_batch = jax.jit(
+                eval_batch,
+                in_shardings=(rep, rep, bsh, bsh, bsh, bsh),
+                out_shardings=rep,
+            )
+            self._replicate_weights()
+        self._orig_iou_cache = {}
+
+    def _orig_iou_fn(self, canvas_hw: tuple[int, int]):
+        """One jitted paste+IoU program per canvas bucket (static shapes;
+        reused across batches sharing the bucket, like the PNG path)."""
+        cached = self._orig_iou_cache.get(canvas_hw)
+        if cached is not None:
+            return cached
+        thr = self.cfg.infer.mask_threshold
+        from basi_tpu.ops.paste import paste_masks_batch
+
+        @jax.jit
+        def _fn(full, valid_hw, orig_hw, gt_canvas):
+            pasted = paste_masks_batch(full, valid_hw, canvas_hw, orig_hw)
+            pm = (pasted > thr).astype(jnp.float32)
+            gm = gt_canvas.astype(jnp.float32)
+            return jax.vmap(mask_iou_matrix)(pm, gm)
+
+        self._orig_iou_cache[canvas_hw] = _fn
+        return _fn
+
+    def _orig_frame_iou(self, full, batch, dataset):
+        """Original-resolution matching (SURVEY §3.2/§3.5: the reference
+        pastes to original size, THEN evaluates): predictions letterbox-
+        inverted onto a static canvas bucket, matched against native-
+        resolution GT read from the dataset. IoU after bilinear
+        letterboxing != IoU at original resolution for any non-square
+        image — this path restores the reference's geometry."""
+        import warnings
+
+        size = self.cfg.model.image_size
+        max_canvas = 2048
+        mh = int(np.max(batch["orig_hw"][:, 0]))
+        mw = int(np.max(batch["orig_hw"][:, 1]))
+        ch = min(max(size, -(-mh // 128) * 128), max_canvas)
+        cw = min(max(size, -(-mw // 128) * 128), max_canvas)
+        if mh > max_canvas or mw > max_canvas:
+            warnings.warn(
+                f"original image {mh}x{mw} exceeds the {max_canvas} AP "
+                f"canvas cap; matching will crop")
+        n = len(batch["index"])
+        m_slots = batch["masks"].shape[1]
+        gt = np.zeros((n, m_slots, ch, cw), np.uint8)
+        for j, gi in enumerate(batch["index"]):
+            masks, _ = dataset.get_orig_masks(int(gi))
+            hh, ww = min(masks.shape[1], ch), min(masks.shape[2], cw)
+            gt[j, :, :hh, :ww] = masks[:, :hh, :ww]
+        return self._orig_iou_fn((ch, cw))(
+            full, jnp.asarray(batch["valid_hw"]),
+            jnp.asarray(batch["orig_hw"]), jnp.asarray(gt))
 
     def _to_full_res(self, probs: jnp.ndarray):
         """Upsample slot-mask PROBS to model input resolution (fused kernel,
@@ -247,6 +381,49 @@ class Inferencer:
         cfg = self.cfg
         dataset = dataset or make_dataset(cfg.data, split="val")
         acc = APAccumulator(thresholds=(0.5, 0.7))
+        # Multi-host DP eval: decode only this process's rows of each
+        # global batch and stitch them into global batch-sharded arrays;
+        # metric outputs come back replicated, so every process runs this
+        # same host loop and lands on identical metrics.
+        multiproc = self.mesh is not None and jax.process_count() > 1
+        rows = None
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from basi_tpu.parallel.dist_data import (
+                local_rows,
+                make_global_batch_array,
+            )
+
+            bsh = NamedSharding(self.mesh, P(self.data_axis))
+            rows = local_rows(bsh, cfg.infer.batch_size)
+        ap_orig = getattr(cfg.infer, "ap_at_original", False)
+        if ap_orig:
+            if multiproc:
+                raise ValueError(
+                    "infer.ap_at_original needs host-side native-GT reads "
+                    "and is single-host only")
+            if not hasattr(dataset, "get_orig_masks"):
+                raise ValueError(
+                    f"{type(dataset).__name__} provides no get_orig_masks; "
+                    f"original-resolution AP needs native-resolution GT")
+        save_png = cfg.infer.save_png
+        if save_png and multiproc:
+            import warnings
+
+            warnings.warn("infer.save_png pastes at host-local resolution "
+                          "and is single-host only; skipping PNG dump")
+            save_png = False
+
+        def to_device_args(batch):
+            arrs = (np.asarray(batch["image"]), np.asarray(batch["masks"]),
+                    np.asarray(batch["valid"]), np.asarray(batch["valid_hw"]))
+            if not multiproc:
+                return arrs
+            return tuple(
+                make_global_batch_array(a, bsh, cfg.infer.batch_size, rows)
+                for a in arrs)
+
         n_img = 0
         n_batches = 0
         sal_mae_sum = 0.0
@@ -269,22 +446,24 @@ class Inferencer:
         def drain_one():
             nonlocal n_img, n_batches, sal_mae_sum, f_sum, png_ms
             nonlocal t_steady, png_at_steady
-            bi, batch, scores, iou, mae_per, f_mat, full = pending.popleft()
+            bi, batch, scores, iou, mae_per, f_mat, gt_valid, full = (
+                pending.popleft())
             # ONE batched fetch: each device_get pays a full relay round
-            # trip (~25-30 ms on axon, bench.py note) — 4 sequential fetches
-            # were 4 round trips on the timed path.
-            scores_h, iou_h, mae_h, f_h = (
+            # trip (~25-30 ms on axon, bench.py note) — sequential fetches
+            # were as many round trips on the timed path.
+            scores_h, iou_h, mae_h, f_h, valid_h = (
                 np.asarray(x)
-                for x in jax.device_get((scores, iou, mae_per, f_mat)))
+                for x in jax.device_get((scores, iou, mae_per, f_mat,
+                                         gt_valid)))
             nreal = int(batch["num_real"])
             for i in range(nreal):  # padded tail duplicates are skipped
-                acc.add(scores_h[i], iou_h[i], batch["valid"][i])
+                acc.add(scores_h[i], iou_h[i], valid_h[i])
             n_img += nreal
             n_batches += 1
             sal_mae_sum += float(mae_h[:nreal].sum())
             fs = f_h[:, :nreal].sum(axis=1)
             f_sum = fs if f_sum is None else f_sum + fs
-            if cfg.infer.save_png:
+            if save_png:
                 # PNG paste/encode is postproc I/O; keep it out of the
                 # reported inference latency (timed separately below).
                 tp = _time.perf_counter()
@@ -302,17 +481,23 @@ class Inferencer:
             t0 = _time.perf_counter()
             for bi, batch in enumerate(iter_epoch(
                 dataset, cfg.infer.batch_size, shuffle=False, seed=0,
-                drop_last=False,
+                drop_last=False, rows=rows,
             )):
                 if max_batches and bi >= max_batches:
                     break
-                masks, scores, iou, mae_per, f_mat, full = self._eval_batch(
-                    self.params, self.batch_stats, batch["image"],
-                    jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]),
-                    jnp.asarray(batch["valid_hw"]),
-                )
+                images, gmasks, gvalid, gvalid_hw = to_device_args(batch)
+                masks, scores, iou, mae_per, f_mat, gt_valid, full = (
+                    self._eval_batch(
+                        self.params, self.batch_stats, images,
+                        gmasks, gvalid, gvalid_hw,
+                    ))
                 del masks  # full-res ``full`` supersedes it in the drain
-                pending.append((bi, batch, scores, iou, mae_per, f_mat, full))
+                if ap_orig:
+                    # Swap the letterbox-frame IoU for original-frame IoU
+                    # (async dispatch; joins the same pipelined drain).
+                    iou = self._orig_frame_iou(full, batch, dataset)
+                pending.append((bi, batch, scores, iou, mae_per, f_mat,
+                                gt_valid, full))
                 while len(pending) > lag:
                     drain_one()
             while pending:

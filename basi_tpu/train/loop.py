@@ -25,7 +25,10 @@ from basi_tpu.utils.profiling import StepTimer, maybe_trace
 
 class Trainer:
     def __init__(self, cfg: Config):
+        from basi_tpu.parallel.distributed import process_info
+
         self.cfg = cfg
+        self.process_index, self.process_count = process_info()
         self.model = create_model(cfg.model)
         if cfg.train.remat:
             self.model = self.model.clone(remat=True)
@@ -33,6 +36,10 @@ class Trainer:
         self.mesh = (
             make_mesh(n_dev, cfg.parallel.data_axis) if n_dev > 1 else None
         )
+        if self.process_count > 1 and self.mesh is None:
+            raise ValueError(
+                "multi-process training needs a device mesh: "
+                "parallel.num_devices must cover every process's devices")
         self.dataset = make_dataset(cfg.data, split="train")
         self.val_dataset = make_dataset(cfg.data, split="val")
 
@@ -68,6 +75,18 @@ class Trainer:
         self.state = create_train_state(
             self.model, cfg.model, cfg.train, self.max_steps, tx=self.tx
         )
+        if self.process_count > 1:
+            # Replicate the (identically-seeded, hence identical) state
+            # onto the GLOBAL mesh: jit can reshard a process-local array
+            # onto a single-host mesh automatically, but a multi-host mesh
+            # needs explicit global arrays (host value -> every device).
+            from basi_tpu.parallel.dist_data import make_replicated_array
+
+            rep = NamedSharding(self.mesh, P())
+            host_state = jax.device_get(self.state)
+            self.state = jax.tree.map(
+                lambda x: make_replicated_array(x, rep), host_state)
+            self._collective_barrier()
         self.train_step = make_train_step(
             self.model, self.tx, cfg.train, cfg.data,
             mesh=self.mesh, data_axis=cfg.parallel.data_axis,
@@ -79,8 +98,45 @@ class Trainer:
         )
         if self.ckpt is not None:
             self.state = self.ckpt.maybe_resume(self.state, cfg.train.resume)
-        self.logger = MetricLogger(cfg.metrics_path)
+        # Multi-process: metrics are identical on every process (replicated
+        # step outputs); only process 0 writes the console/JSONL stream.
+        log_here = self.process_index == 0
+        self.logger = MetricLogger(cfg.metrics_path if log_here else "",
+                                   console=log_here)
         self.timer = StepTimer()
+
+    def _collective_barrier(self):
+        """Form the global collective clique on a TRIVIAL psum before any
+        heavyweight program runs. Collective-context rendezvous has a hard
+        deadline (Gloo: 30 s) — if one process reaches the first train-step
+        collective while a peer is still deep in XLA compilation, the
+        rendezvous times out. A subsecond-compile barrier program brings
+        every process to the rendezvous within seconds; the established
+        clique is cached and reused by the real step. Doubles as a mesh
+        health check: the psum must equal the data-axis size."""
+        import numpy as np
+
+        from basi_tpu.parallel.dist_data import (
+            local_rows,
+            make_global_batch_array,
+        )
+
+        axis = self.cfg.parallel.data_axis
+        n = self.mesh.shape[axis]
+        bsh = NamedSharding(self.mesh, P(axis))
+        rows = local_rows(bsh, n)
+        arr = make_global_batch_array(
+            np.ones((len(rows),), np.float32), bsh, n, rows)
+        out = jax.jit(
+            jax.shard_map(lambda x: jax.lax.psum(x, axis), mesh=self.mesh,
+                          in_specs=P(axis), out_specs=P()),
+            out_shardings=NamedSharding(self.mesh, P()),
+        )(arr)
+        total = float(jax.device_get(out))
+        if total != float(n):
+            raise RuntimeError(
+                f"mesh health check failed: psum of ones over {axis!r} "
+                f"returned {total}, expected {n}")
 
     def train(self) -> dict:
         cfg = self.cfg
@@ -157,6 +213,7 @@ class Trainer:
             inf = self._inferencer = Inferencer(
                 self.cfg, model=self.model,
                 params=self.state.params, batch_stats=self.state.batch_stats,
+                mesh=self.mesh, data_axis=self.cfg.parallel.data_axis,
             )
         else:
             inf.set_weights(self.state.params, self.state.batch_stats)

@@ -31,6 +31,7 @@ def basi_loss(
     center_sigma: float = 0.2,
     axis_name: str | None = None,
     max_pos_cells: int = 64,
+    gt_stats: dict | None = None,
 ) -> tuple[jnp.ndarray, dict[str, Any]]:
     """Total loss for a batch. gt_masks: (N, M, H, W); gt_valid: (N, M).
     gt_masks may arrive at any integer multiple of the mask-feature
@@ -54,12 +55,23 @@ def basi_loss(
     n, mh, mw, e = outputs.mask_feats.shape
 
     if outputs.mask_logits is None:
-        sel_idx, tgt_masks, pos_sel, score_tgt, num_pos = jax.vmap(
-            lambda gm, gv: assign_targets_sparse(
-                gm, gv, grid_size=s, mask_hw=(mh, mw),
-                center_sigma=center_sigma, max_pos_cells=max_pos_cells,
-            )
-        )(gt_masks, gt_valid)
+        if gt_stats is None:
+            sel_idx, tgt_masks, pos_sel, score_tgt, num_pos = jax.vmap(
+                lambda gm, gv: assign_targets_sparse(
+                    gm, gv, grid_size=s, mask_hw=(mh, mw),
+                    center_sigma=center_sigma, max_pos_cells=max_pos_cells,
+                )
+            )(gt_masks, gt_valid)
+        else:
+            # Precomputed full-resolution stats: assignment stays invariant
+            # to the step's /4 GT pre-downsample (see targets module doc).
+            sel_idx, tgt_masks, pos_sel, score_tgt, num_pos = jax.vmap(
+                lambda gm, gv, st: assign_targets_sparse(
+                    gm, gv, grid_size=s, mask_hw=(mh, mw),
+                    center_sigma=center_sigma, max_pos_cells=max_pos_cells,
+                    stats=st,
+                )
+            )(gt_masks, gt_valid, gt_stats)
         kernels = outputs.cell_kernels.reshape(n, s * s, e)
         sel_kernels = jnp.take_along_axis(
             kernels, sel_idx[..., None].astype(jnp.int32), axis=1)
@@ -78,7 +90,7 @@ def basi_loss(
     else:
         tgt_masks, cell_pos, score_tgt = assign_targets_batch(
             gt_masks, gt_valid, grid_size=s, mask_hw=(mh, mw),
-            center_sigma=center_sigma,
+            center_sigma=center_sigma, stats=gt_stats,
         )
         # Instance masks: Dice over positive cells (+BCE, matching the
         # reference's BCE+Dice recipe applied per instance).

@@ -57,7 +57,8 @@ def make_train_step(
 
     max_pos = getattr(cfg_train, "max_pos_cells", 64)
 
-    def loss_fn(params, batch_stats, images, gt_masks, gt_valid):
+    def loss_fn(params, batch_stats, images, gt_masks, gt_valid,
+                gt_stats=None):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
@@ -76,6 +77,7 @@ def make_train_step(
             saliency_weight=cfg_train.saliency_loss_weight,
             axis_name=axis_name,
             max_pos_cells=max_pos,
+            gt_stats=gt_stats,
         )
         return loss, (metrics, mutated["batch_stats"])
 
@@ -102,6 +104,7 @@ def make_train_step(
         norm = normalize_and_flip if use_pallas else normalize_and_flip_reference
         imgs = norm(batch["image"], flip, mean=mean, std=std,
                     out_dtype=model.dtype)
+        gt_stats = None
         if cfg_data.multiscale:
             # Scale jitter resamples masks at full resolution; keep the
             # full-res f32 path (flip applied here to match the image).
@@ -115,14 +118,25 @@ def make_train_step(
                 enable_scale=True,
             )
         else:
-            # Every GT-mask consumer in the loss (instance stats, dice
-            # targets, saliency union) operates at the /4 mask-feature
+            # Dice targets / saliency union operate at the /4 mask-feature
             # resolution, so downsample the uint8 masks FIRST: the maxpool
             # commutes exactly with the axis flip (integer factor) and with
             # the loss's own maxpool, and removes the (N, M, H, W) f32
             # tensor + its flips/reduces from the step (measured ~10 ms of
-            # the 78 ms bf16 batch-16 step at 512^2 on v5e).
+            # the 78 ms bf16 batch-16 step at 512^2 on v5e). Assignment
+            # stats, however, are computed from the FULL-RES masks (cheap
+            # uint8 reductions, no NMHW f32 tensor): maxpool dilation would
+            # shift centroids/extents and flip smallest-area tiebreaks vs
+            # the multiscale path on identical data. The hflip only mirrors
+            # x, so cx -> 1 - cx applies it analytically (normalized
+            # center-coords make that exact); cy/extents/area are
+            # flip-invariant.
+            from basi_tpu.train.targets import instance_stats
+
             m_u8 = batch["masks"]
+            gt_stats = jax.vmap(instance_stats)(m_u8, batch["valid"])
+            gt_stats["cx"] = jnp.where(
+                flip[:, None] > 0, 1.0 - gt_stats["cx"], gt_stats["cx"])
             f = 4  # mask-feature stride (BASIOutputs.mask_feats is H/4)
             small = maxpool_hw(m_u8, f, f)
             small = jnp.where(flip[:, None, None, None] > 0,
@@ -130,7 +144,8 @@ def make_train_step(
             masks = small.astype(jnp.float32)
 
         (loss, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, imgs, masks, batch["valid"]
+            state.params, state.batch_stats, imgs, masks, batch["valid"],
+            gt_stats,
         )
 
         if mesh is not None:

@@ -67,11 +67,20 @@ def _assignment_core(
     grid_size: int,
     mask_hw: tuple[int, int],
     center_sigma: float,
+    stats: dict | None = None,
 ):
     """Shared assignment: returns (small (M, h, w) downsampled GT,
-    flat_winner (S*S,), cell_pos (S*S,), cell_score_tgt (S, S, 1))."""
+    flat_winner (S*S,), cell_pos (S*S,), cell_score_tgt (S, S, 1)).
+
+    ``stats``: optional precomputed ``instance_stats`` (normalized coords,
+    so resolution-free). The train step passes FULL-RESOLUTION stats while
+    feeding pre-downsampled /4 masks — maxpool dilates thin structures,
+    which would otherwise shift centroids/extents/areas and flip
+    smallest-area conflict tiebreaks vs the full-res assignment.
+    """
     s = grid_size
-    stats = instance_stats(gt_masks, gt_valid)
+    if stats is None:
+        stats = instance_stats(gt_masks, gt_valid)
 
     # Cell centers in normalized coords: (S,) each.
     cc = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
@@ -126,10 +135,11 @@ def assign_targets(
     grid_size: int = 16,
     mask_hw: tuple[int, int] = (128, 128),
     center_sigma: float = 0.2,
+    stats: dict | None = None,
 ):
     """Build DENSE cell-grid training targets for one image (module doc)."""
     small, flat_winner, cell_pos, cell_score_tgt = _assignment_core(
-        gt_masks, gt_valid, grid_size, mask_hw, center_sigma)
+        gt_masks, gt_valid, grid_size, mask_hw, center_sigma, stats)
     cell_target_mask = small[flat_winner] * cell_pos[:, None, None]
     return cell_target_mask, cell_pos, cell_score_tgt
 
@@ -143,6 +153,7 @@ def assign_targets_sparse(
     mask_hw: tuple[int, int] = (128, 128),
     center_sigma: float = 0.2,
     max_pos_cells: int = 64,
+    stats: dict | None = None,
 ):
     """Targets for the POSITIVE-CELLS-ONLY loss path (one image).
 
@@ -159,7 +170,7 @@ def assign_targets_sparse(
     cell_score_tgt (S, S, 1), num_pos ()).
     """
     small, flat_winner, cell_pos, cell_score_tgt = _assignment_core(
-        gt_masks, gt_valid, grid_size, mask_hw, center_sigma)
+        gt_masks, gt_valid, grid_size, mask_hw, center_sigma, stats)
     # stable argsort: positives (1.0) first, each group in index order
     order = jnp.argsort(-cell_pos, stable=True)
     sel_idx = order[:max_pos_cells].astype(jnp.int32)
@@ -168,8 +179,15 @@ def assign_targets_sparse(
     return sel_idx, tgt_sel, pos_sel, cell_score_tgt, jnp.sum(cell_pos)
 
 
-def assign_targets_batch(gt_masks, gt_valid, grid_size, mask_hw, center_sigma=0.2):
+def assign_targets_batch(gt_masks, gt_valid, grid_size, mask_hw,
+                         center_sigma=0.2, stats=None):
     """vmapped assignment over the batch dimension."""
+    if stats is None:
+        return jax.vmap(
+            lambda gm, gv: assign_targets(gm, gv, grid_size, mask_hw,
+                                          center_sigma)
+        )(gt_masks, gt_valid)
     return jax.vmap(
-        lambda gm, gv: assign_targets(gm, gv, grid_size, mask_hw, center_sigma)
-    )(gt_masks, gt_valid)
+        lambda gm, gv, st: assign_targets(gm, gv, grid_size, mask_hw,
+                                          center_sigma, stats=st)
+    )(gt_masks, gt_valid, stats)

@@ -77,3 +77,58 @@ def test_snake_component():
     assert n == 1
     labs = set(got[got >= 0].ravel().tolist())
     assert len(labs) == 1
+
+
+def test_instance_mechanism_swap_is_cli_reachable(capsys):
+    """SURVEY §2.8 / VERDICT r2 item 6: `basi eval` must run BOTH instance
+    mechanisms behind the same slot contract and report AP for each —
+    proving the narrow-interface swap actually swaps end-to-end."""
+    import json
+
+    from basi_tpu.cli import main
+
+    args = [
+        "eval",
+        "--set", "model.backbone=resnet_tiny",
+        "--set", "model.image_size=64",
+        "--set", "model.grid_size=8",
+        "--set", "model.fpn_channels=32",
+        "--set", "model.mask_channels=32",
+        "--set", "model.num_slots=8",
+        "--set", "data.image_size=64",
+        "--set", "data.dataset=synthetic",
+        "--set", "data.synthetic_n=16",
+        "--set", "data.max_instances=4",
+        "--set", "infer.batch_size=4",
+        "--set", "infer.dtype=float32",
+        "--set", "parallel.num_devices=1",
+        "--max-batches", "1",
+    ]
+    results = {}
+    for mech in ("kernels", "connected"):
+        rc = main(args + ["--set", f"model.instance_mechanism={mech}"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        results[mech] = json.loads(out)
+    for mech, metrics in results.items():
+        for key in ("AP@0.5", "AP@0.7", "mAP", "saliency_mae"):
+            assert key in metrics, (mech, metrics)
+            assert np.isfinite(metrics[key])
+
+
+def test_instance_mechanism_unknown_rejected():
+    import dataclasses
+
+    import pytest
+
+    from basi_tpu.config import Config, ModelConfig
+    from basi_tpu.infer import Inferencer
+
+    cfg = Config(model=ModelConfig(
+        backbone="resnet_tiny", fpn_channels=32, mask_channels=32,
+        grid_size=8, num_slots=8, image_size=64,
+        instance_mechanism="voronoi"))
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, image_size=64))
+    with pytest.raises(ValueError, match="instance_mechanism"):
+        Inferencer(cfg)

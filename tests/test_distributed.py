@@ -77,6 +77,133 @@ def test_process_info_single_process():
     assert (idx, count) == (0, 1)
 
 
+_TRAINER_WORKER = """
+import json, os, sys
+mode, port, out = sys.argv[1], sys.argv[2], sys.argv[3]
+ndev_local = 4 if mode == "single" else 2
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={ndev_local} "
+    "--xla_backend_optimization_level=0")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.environ["BASI_TEST_CACHE"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if mode != "single":
+    os.environ.update({
+        "BASI_COORDINATOR": f"127.0.0.1:{port}",
+        "BASI_NUM_PROCESSES": "2",
+        "BASI_PROCESS_ID": mode,
+    })
+import numpy as np
+from basi_tpu.config import (Config, DataConfig, InferConfig, ModelConfig,
+                             ParallelConfig, TrainConfig)
+from basi_tpu.parallel.distributed import maybe_initialize
+from basi_tpu.train.loop import Trainer
+
+if mode != "single":
+    assert maybe_initialize() is True
+    assert jax.process_count() == 2
+assert len(jax.devices()) == 4, jax.devices()
+
+cfg = Config(
+    model=ModelConfig(backbone="resnet_tiny", fpn_channels=32,
+                      mask_channels=32, grid_size=8, num_slots=8,
+                      image_size=64),
+    data=DataConfig(dataset="synthetic", batch_size=4, image_size=64,
+                    max_instances=4, synthetic_n=8),
+    train=TrainConfig(epochs=2, lr=1e-3, log_every=1, checkpoint_dir="",
+                      resume="none"),
+    infer=InferConfig(batch_size=4, dtype="float32", pre_nms_top_k=16),
+    parallel=ParallelConfig(num_devices=0),
+)
+tr = Trainer(cfg)
+metrics = tr.train()
+flat = jax.tree_util.tree_flatten_with_path(
+    jax.device_get(tr.state.params))[0]
+arrs = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+arrs["__step__"] = np.asarray(jax.device_get(tr.state.step))
+np.savez(out, **arrs)
+with open(out + ".metrics.json", "w") as fh:
+    json.dump({k: float(v) for k, v in metrics.items()}, fh)
+print("worker done", mode)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_trainer_matches_single_process(tmp_path):
+    """The product-level multi-host gate (VERDICT r2 item 1): a REAL
+    2-process Gloo-backed Trainer — process-sharded decode, global-array
+    feed, shard_map DP step, multi-process DP eval — must train to the
+    same state as one process driving the identical 4-device mesh, and
+    both processes must report identical eval metrics."""
+    import subprocess
+    import sys
+
+    worker = tmp_path / "trainer_worker.py"
+    worker.write_text(_TRAINER_WORKER)
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    env.pop("JAX_PLATFORMS", None)
+    env["BASI_TEST_CACHE"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+
+    def run_single():
+        p = subprocess.run(
+            [sys.executable, str(worker), "single", "0",
+             str(tmp_path / "single.npz")],
+            env=env, capture_output=True, text=True, timeout=900)
+        assert p.returncode == 0, p.stdout + p.stderr
+        return p
+
+    def run_pair():
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), port,
+                 str(tmp_path / f"proc{i}.npz")],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True)
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+
+    # Serialize: this host has ONE core; concurrent single+pair runs would
+    # distort nothing correctness-wise but triple the wall time via
+    # compile contention. Run the reference first to warm the XLA cache.
+    run_single()
+    run_pair()
+
+    import json
+
+    import numpy as np
+
+    single = np.load(tmp_path / "single.npz")
+    p0 = np.load(tmp_path / "proc0.npz")
+    p1 = np.load(tmp_path / "proc1.npz")
+    assert int(single["__step__"]) == int(p0["__step__"]) == 4
+    assert set(single.files) == set(p0.files) == set(p1.files)
+    for k in single.files:
+        # Gloo allreduce and single-process psum may order float sums
+        # differently; over 4 SGD steps (grad psum + sync-BN pmean each)
+        # the accumulated reduction-order drift is O(1e-4) on f32 params.
+        np.testing.assert_allclose(p0[k], single[k], rtol=1e-3, atol=5e-4,
+                                   err_msg=k)
+        # both processes hold the SAME replicated state — exactly.
+        np.testing.assert_array_equal(p0[k], p1[k], err_msg=k)
+    m0 = json.load(open(tmp_path / "proc0.npz.metrics.json"))
+    m1 = json.load(open(tmp_path / "proc1.npz.metrics.json"))
+    drop = ("step_ms", "imgs_per_s", "infer_ms_per_batch", "t",
+            "png_ms_per_batch")
+    assert {k: v for k, v in m0.items() if k not in drop} == \
+           {k: v for k, v in m1.items() if k not in drop}
+
+
 @pytest.mark.slow
 def test_two_process_cpu_gloo_psum(tmp_path):
     """REAL multi-process jax.distributed smoke (SURVEY §5.8): two

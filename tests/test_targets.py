@@ -66,3 +66,49 @@ def test_no_instances_no_positives():
     )
     assert float(jnp.sum(pos)) == 0.0
     assert float(jnp.sum(score)) == 0.0
+
+
+def test_assignment_invariant_to_mask_resolution():
+    """ADVICE r2: feeding /4-downsampled masks with FULL-RES stats must
+    reproduce the full-res assignment exactly; stats recomputed from the
+    maxpooled masks must NOT (thin structures dilate, shifting extents and
+    area tiebreaks) — proving the stats pass-through is load-bearing."""
+    import jax
+
+    from basi_tpu.ops.resize import maxpool_hw
+    from basi_tpu.train.targets import assign_targets_sparse
+
+    size, s = 64, 8
+    gm = np.zeros((2, size, size), np.float32)
+    # 2px-thin bar STRADDLING a /4 boundary (rows 31-32): area 112 at full
+    # res but maxpool dilates it to 2 whole /4 rows (area 28 in /4 cells),
+    # while the blob (area 149 full) shrinks to ~15 — the smallest-area
+    # conflict winner flips between resolutions.
+    gm[0, 31:33, 4:60] = 1.0
+    gm[1] = _blob(size, 28, 32, 7)  # contests cell (3,4) with the bar
+    valid = np.array([1, 1], np.float32)
+    small = np.asarray(maxpool_hw(jnp.asarray(gm), 4, 4))
+
+    full_stats = instance_stats(jnp.asarray(gm), jnp.asarray(valid))
+    a_full = assign_targets_sparse(
+        jnp.asarray(gm), jnp.asarray(valid), grid_size=s, mask_hw=(16, 16),
+        max_pos_cells=16)
+    a_small_with_stats = assign_targets_sparse(
+        jnp.asarray(small), jnp.asarray(valid), grid_size=s,
+        mask_hw=(16, 16), max_pos_cells=16, stats=full_stats)
+    a_small_naive = assign_targets_sparse(
+        jnp.asarray(small), jnp.asarray(valid), grid_size=s,
+        mask_hw=(16, 16), max_pos_cells=16)
+
+    # sel_idx, tgt_masks, pos_sel, score_tgt identical with the pass-through
+    for got, want in zip(a_small_with_stats, a_full):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # ...and the /4-stats assignment genuinely differs on this geometry:
+    # at full res the thin bar (area 112) beats the blob (~154) on the
+    # contested cell, but maxpool dilation doubles the bar's thickness at
+    # /4 scale where the blob shrinks — the smallest-area winner flips,
+    # changing that cell's TARGET MASK (the positive-cell set is stable).
+    tgt_with, tgt_naive = np.asarray(a_small_with_stats[1]), np.asarray(
+        a_small_naive[1])
+    assert not np.array_equal(tgt_naive, tgt_with), \
+        "expected /4-recomputed stats to change the conflict winner"
