@@ -209,7 +209,7 @@ def main(argv=None) -> int:
     p_imp.set_defaults(fn=cmd_import)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
-    p_bench.add_argument("--mode", default="infer", choices=["infer", "train"])
+    p_bench.add_argument("--mode", default="infer", choices=["infer", "train", "e2e"])
     p_bench.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

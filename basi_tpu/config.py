@@ -82,6 +82,13 @@ class TrainConfig:
     keep_checkpoints: int = 3
     resume: str = "auto"  # auto | none | <path>
     remat: bool = False  # jax.checkpoint the backbone to save HBM
+    # Steps executed inside ONE jitted dispatch (lax.scan over stacked
+    # batches). Measured a wash on the single-chip axon setup (async
+    # dispatches already pipeline; see train/step.py make_group_step) —
+    # kept for runtimes where per-program launch overhead does not
+    # pipeline. Costs (steps_per_dispatch x batch) of extra uint8 input
+    # HBM; log/checkpoint granularity rounds up to the group.
+    steps_per_dispatch: int = 1
     log_every: int = 10
 
 

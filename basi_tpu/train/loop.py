@@ -105,6 +105,17 @@ class Trainer:
                                    console=log_here)
         self.timer = StepTimer()
 
+    def _group_step(self):
+        """Lazily-built multi-step dispatch program (see step.py
+        make_group_step); one function object, jit re-specializes per
+        group arity so the epoch-tail size compiles separately."""
+        fn = getattr(self, "_group_step_fn", None)
+        if fn is None:
+            from basi_tpu.train.step import make_group_step
+
+            fn = self._group_step_fn = make_group_step(self.train_step)
+        return fn
+
     def _collective_barrier(self):
         """Form the global collective clique on a TRIVIAL psum before any
         heavyweight program runs. Collective-context rendezvous has a hard
@@ -157,15 +168,36 @@ class Trainer:
                 already = host_step - epoch * self.steps_per_epoch
                 self.timer.mark()  # reset the window (eval/ckpt time out)
                 steps_since_mark = 0
-                for batch in self.feed.epoch(epoch, skip=already):
-                    self.state, metrics = self.train_step(self.state, batch)
-                    # Track the step on the host: fetching state.step would
-                    # force a device sync EVERY step (~30 ms on the axon
-                    # relay), serializing the pipeline.
-                    host_step += 1
-                    steps_since_mark += 1
+                group = max(1, cfg.train.steps_per_dispatch)
+                buf: list = []
+
+                def dispatch():
+                    nonlocal host_step, steps_since_mark, last_metrics
+                    nonlocal last_saved_step
+                    if not buf:
+                        return
+                    prev_step = host_step
+                    if len(buf) == 1:
+                        self.state, metrics = self.train_step(
+                            self.state, buf[0])
+                    else:
+                        # One program runs the whole group as a scan:
+                        # per-dispatch overhead (relay/launch) is paid once
+                        # per group. The epoch tail may be a smaller group
+                        # (jit re-specializes per arity, compiled once).
+                        self.state, metrics = self._group_step()(
+                            self.state, *buf)
+                        metrics = {k: v[-1] for k, v in metrics.items()}
+                    # Track steps on the host: fetching state.step would
+                    # force a device sync EVERY dispatch (~30 ms on the
+                    # axon relay), serializing the pipeline.
+                    host_step += len(buf)
+                    steps_since_mark += len(buf)
+                    buf.clear()
                     step = host_step
-                    if step % cfg.train.log_every == 0 or step == self.max_steps:
+                    every = cfg.train.log_every
+                    if (step // every != prev_step // every
+                            or step == self.max_steps):
                         # fetch BEFORE marking time: device_get is the only
                         # reliable sync on this backend (see bench.py note)
                         fetched = {k: float(jax.device_get(v))
@@ -186,11 +218,17 @@ class Trainer:
                         rec.update(fetched)
                         self.logger.log(rec, prefix="[train]")
                         last_metrics = rec
-                    if (self.ckpt is not None
-                            and cfg.train.checkpoint_every_steps
-                            and step % cfg.train.checkpoint_every_steps == 0):
+                    ckpt_every = cfg.train.checkpoint_every_steps
+                    if (self.ckpt is not None and ckpt_every
+                            and step // ckpt_every != prev_step // ckpt_every):
                         self.ckpt.save(self.state)
                         last_saved_step = step
+
+                for batch in self.feed.epoch(epoch, skip=already):
+                    buf.append(batch)
+                    if len(buf) == group:
+                        dispatch()
+                dispatch()  # epoch tail (partial group)
                 # per-epoch: eval + checkpoint (reference behavior); skip if
                 # the in-loop save already wrote this step (orbax raises
                 # StepAlreadyExistsError on a duplicate step).

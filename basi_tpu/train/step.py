@@ -28,6 +28,8 @@ from basi_tpu.ops.pallas.normalize_aug import (
 from basi_tpu.train.loss import basi_loss
 from basi_tpu.train.state import TrainState
 
+_USED_KEYS = ("image", "masks", "valid")
+
 
 def make_train_step(
     model,
@@ -167,8 +169,6 @@ def make_train_step(
         )
         return new_state, metrics
 
-    _USED_KEYS = ("image", "masks", "valid")
-
     if mesh is None:
         def body(state, batch):
             batch = {k: batch[k] for k in _USED_KEYS}
@@ -193,14 +193,46 @@ def make_train_step(
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state, batch):
+    def body(state, batch):
         # Dataset batches carry extra host-side keys (orig_hw/valid_hw/
         # num_real); subselect so the dict matches shard_map's in_specs.
         batch = {k: batch[k] for k in _USED_KEYS}
         return shard_fn(state, batch)
 
+    train_step = jax.jit(body, donate_argnums=(0,) if donate else ())
+    train_step.body = body  # unjitted: composable into scan programs
     return train_step
+
+
+def make_group_step(train_step, donate: bool = True):
+    """Multi-step dispatch: ONE jitted program runs ``len(batches)`` train
+    steps as a scan (SURVEY §3.1 "one XLA program" taken across steps).
+
+    Per-dispatch overhead is paid once per GROUP instead of once per
+    step. Measured on this v5e/axon setup it is a WASH (67.4 ms/step
+    per-step-dispatch vs 68.1 grouped at spd=8): back-to-back async
+    dispatches already pipeline through the relay, and the in-program
+    batch stack costs ~0.5 ms/step of HBM copies. The knob exists for
+    runtimes where per-program launch overhead does NOT pipeline (host-
+    side dispatch contention in multi-process loops); trajectory
+    equivalence with per-step dispatch is tested. Returns
+    ``step_many(state, *batches) -> (state, stacked_metrics)``; jit
+    compiles once per distinct group size (the epoch tail may be
+    shorter)."""
+    body = train_step.body
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step_many(state, *batches):
+        batches = [{k: b[k] for k in _USED_KEYS} for b in batches]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+        def scan_body(st, b):
+            st, metrics = body(st, b)
+            return st, metrics
+
+        return jax.lax.scan(scan_body, state, stacked)
+
+    return step_many
 
 
 def shard_batch(batch: dict[str, jnp.ndarray], mesh: Mesh, data_axis: str = "data"):

@@ -8,6 +8,6 @@ from basi_tpu.benchmark import run
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", default="infer", choices=["infer", "train"])
+    p.add_argument("--mode", default="infer", choices=["infer", "train", "e2e"])
     args = p.parse_args()
     raise SystemExit(run(args.mode))

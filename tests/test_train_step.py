@@ -93,3 +93,44 @@ def test_batch_stats_pmean_synced(setup):
     )
     assert changed
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves1)
+
+
+def test_steps_per_dispatch_matches_per_step_training(tmp_path):
+    """train.steps_per_dispatch groups K steps into one scan program; the
+    resulting training trajectory must match per-step dispatch exactly
+    (same batch order, same per-step RNG folding) — including the epoch
+    tail that forms a smaller group (4 steps at group 3 -> 3+1)."""
+    import dataclasses
+
+    from basi_tpu.train.loop import Trainer
+    from helpers import tiny_config
+
+    def run(spd):
+        cfg = tiny_config(batch_size=4)
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, synthetic_n=16, batch_size=4),
+            train=dataclasses.replace(
+                cfg.train, epochs=1, log_every=2, checkpoint_dir="",
+                steps_per_dispatch=spd),
+            parallel=dataclasses.replace(cfg.parallel, num_devices=1),
+        )
+        tr = Trainer(cfg)
+        tr.train()
+        return jax.device_get(tr.state)
+
+    s1 = run(1)
+    s3 = run(3)
+    assert int(s1.step) == int(s3.step) == 4
+    # Same trajectory modulo fusion-order float differences between the
+    # stacked-scan and single-step programs (measured ~2e-7 abs after 4
+    # f32 SGD steps) — NOT a semantic divergence.
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat3 = jax.tree_util.tree_leaves(s3.params)
+    for a, b in zip(flat1, flat3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s3.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-3)
