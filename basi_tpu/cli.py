@@ -172,6 +172,15 @@ def _check_against_template(cfg, params, stats):
                 f"shape-mismatch={[(k, got_shapes[k], want_shapes[k]) for k in wrong[:8]]}")
 
 
+def cmd_serve(args) -> int:
+    """HTTP serving endpoint over the batched predictor (server.py)."""
+    from basi_tpu.server import serve_forever
+
+    cfg = _build_cfg(args)
+    return serve_forever(cfg, checkpoint=args.checkpoint,
+                         host=args.host, port=args.port)
+
+
 def cmd_bench(args) -> int:
     from basi_tpu.benchmark import run  # packaged: works installed too
 
@@ -207,6 +216,13 @@ def main(argv=None) -> int:
     p_imp.add_argument("--what", default="full",
                        choices=["full", "backbone"])
     p_imp.set_defaults(fn=cmd_import)
+
+    p_srv = sub.add_parser("serve", help="HTTP serving endpoint")
+    _add_common(p_srv)
+    p_srv.add_argument("--checkpoint", default="", help="orbax params dir")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8000)
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.add_argument("--mode", default="infer", choices=["infer", "train", "e2e"])

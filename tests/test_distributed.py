@@ -79,7 +79,8 @@ def test_process_info_single_process():
 
 _TRAINER_WORKER = """
 import json, os, sys
-mode, port, out = sys.argv[1], sys.argv[2], sys.argv[3]
+mode, port, out, ckpt_dir = (sys.argv[1], sys.argv[2], sys.argv[3],
+                             sys.argv[4])
 ndev_local = 4 if mode == "single" else 2
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={ndev_local} "
@@ -111,13 +112,22 @@ cfg = Config(
                       image_size=64),
     data=DataConfig(dataset="synthetic", batch_size=4, image_size=64,
                     max_instances=4, synthetic_n=8),
-    train=TrainConfig(epochs=2, lr=1e-3, log_every=1, checkpoint_dir="",
-                      resume="none"),
+    train=TrainConfig(epochs=2, lr=1e-3, log_every=1,
+                      checkpoint_dir=ckpt_dir, resume="none"),
     infer=InferConfig(batch_size=4, dtype="float32", pre_nms_top_k=16),
     parallel=ParallelConfig(num_devices=0),
 )
 tr = Trainer(cfg)
 metrics = tr.train()
+# Multi-host checkpoint/resume: every process participates in the orbax
+# save (global replicated arrays, shared directory); a FRESH Trainer with
+# resume=auto must restore the final step on every process.
+import dataclasses
+cfg2 = dataclasses.replace(
+    cfg, train=dataclasses.replace(cfg.train, resume="auto"))
+tr2 = Trainer(cfg2)
+resumed = int(jax.device_get(tr2.state.step))
+assert resumed == 4, f"resume restored step {resumed}, expected 4"
 flat = jax.tree_util.tree_flatten_with_path(
     jax.device_get(tr.state.params))[0]
 arrs = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
@@ -151,7 +161,7 @@ def test_two_process_trainer_matches_single_process(tmp_path):
     def run_single():
         p = subprocess.run(
             [sys.executable, str(worker), "single", "0",
-             str(tmp_path / "single.npz")],
+             str(tmp_path / "single.npz"), str(tmp_path / "ckpt_single")],
             env=env, capture_output=True, text=True, timeout=900)
         assert p.returncode == 0, p.stdout + p.stderr
         return p
@@ -165,8 +175,9 @@ def test_two_process_trainer_matches_single_process(tmp_path):
         procs = [
             subprocess.Popen(
                 [sys.executable, str(worker), str(i), port,
-                 str(tmp_path / f"proc{i}.npz")],
-                env=env, stdout=subprocess.PIPE,
+                 str(tmp_path / f"proc{i}.npz"),
+                 str(tmp_path / "ckpt_pair")],  # SHARED dir: orbax
+                env=env, stdout=subprocess.PIPE,  # multihost save
                 stderr=subprocess.STDOUT, text=True)
             for i in range(2)
         ]
