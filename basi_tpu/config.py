@@ -238,4 +238,14 @@ def get_config(preset: str = "", overrides: list[str] | None = None) -> Config:
     cfg = PRESETS[preset]() if preset else Config()
     if overrides:
         cfg = apply_overrides(cfg, overrides)
+    if cfg.model.image_size != cfg.data.image_size:
+        # The ingest letterbox target and the model resolution are separate
+        # knobs (SURVEY §2.2 keeps the reference's config shape) but MUST
+        # agree, or eval's full-resolution matching dies with an opaque
+        # dot_general shape error far from the cause (seen driving the CLI
+        # with only model.image_size overridden).
+        raise ValueError(
+            f"model.image_size ({cfg.model.image_size}) != data.image_size "
+            f"({cfg.data.image_size}): override both together "
+            "(--set model.image_size=N --set data.image_size=N)")
     return cfg

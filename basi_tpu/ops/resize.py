@@ -81,6 +81,46 @@ def resize_bilinear(
         return x if not squeeze else (
             x[0, :, :, 0] if squeeze == [0, -1] else x[0]
         )
+    if _use_pallas_upsample(x, oh, ow, align_corners):
+        from basi_tpu.ops.pallas.upsample_int import upsample_int
+
+        y = upsample_int(x, oh // h)
+    else:
+        y = _resize_einsum(x, (oh, ow), align_corners)
+
+    if squeeze == [0, -1]:
+        y = y[0, :, :, 0]
+    elif squeeze == [0]:
+        y = y[0]
+    return y
+
+
+# Tri-state override for the Pallas integer-factor upsample fast path:
+# None = auto (TPU backend only), True/False force it (debug/bisection).
+pallas_upsample: bool | None = None
+
+
+def _use_pallas_upsample(x, oh: int, ow: int, align_corners: bool) -> bool:
+    """bf16 NHWC integer-factor (2/4/8) upsamples ride the Pallas kernel
+    (ops.pallas.upsample_int): one VMEM pass at HBM bandwidth vs the
+    einsum path's 65-290 GB/s + layout copies (xplane, v5e r3)."""
+    if align_corners or x.dtype != jnp.bfloat16 or x.ndim != 4:
+        return False
+    _, h, w, c = x.shape
+    if h == 0 or w == 0 or oh % h or ow % w:
+        return False
+    f = oh // h
+    if f != ow // w or f not in (2, 4, 8) or c % 8:
+        return False
+    if pallas_upsample is not None:
+        return pallas_upsample
+    return jax.default_backend() == "tpu"
+
+
+def _resize_einsum(x, out_hw, align_corners):
+    """Separable-matmul resize (the general path; exact semantics)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
     dtype = x.dtype
     # Precision policy follows the input dtype:
     #  * f32 inputs (parity/eval paths): HIGHEST — the TPU default bf16
@@ -107,13 +147,7 @@ def resize_bilinear(
     # (ow, w) x (n, oh, w, c) -> (n, oh, ow, c); contract along W.
     y = jnp.einsum("pw,nowc->nopc", ww, y, precision=prec,
                    preferred_element_type=jnp.float32)
-    y = y.astype(dtype)
-
-    if squeeze == [0, -1]:
-        y = y[0, :, :, 0]
-    elif squeeze == [0]:
-        y = y[0]
-    return y
+    return y.astype(dtype)
 
 
 def upsample2x(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
