@@ -16,6 +16,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from basi_tpu.ops.pool import max_pool
+
 
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm, torch-compatible hyperparameters."""
@@ -188,7 +190,10 @@ class ResNet50(nn.Module):
         else:
             x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # ops.pool.max_pool: forward-identical to nn.max_pool, but its
+        # custom VJP avoids XLA select-and-scatter (1.05 ms of the bf16
+        # batch-16 train step on v5e); gradient routing is bitwise-equal.
+        x = max_pool(x, (3, 3), (2, 2), ((1, 1), (1, 1)))
 
         feats = []
         widths = (64, 128, 256, 512)
