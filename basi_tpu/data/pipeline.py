@@ -28,7 +28,8 @@ class DeviceFeed:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, sharding=None, depth: int = 2,
-                 drop_last: bool = True, debug_sync: bool = False):
+                 drop_last: bool = True, debug_sync: bool = False,
+                 pack_s2d: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +38,11 @@ class DeviceFeed:
         self.depth = max(1, depth)
         self.drop_last = drop_last
         self.debug_sync = debug_sync
+        # Ship images pre-packed in the s2d stem's (N, H/2, W/2, 12) uint8
+        # layout: same bytes, zero device-side reorder copies (the train
+        # twin of the inference host-packed feed; the fused ingest kernel
+        # flips packed batches analytically).
+        self.pack_s2d = pack_s2d
         # Multi-host feed (SURVEY §5.8): with >1 process, this process
         # decodes only the global-batch rows that land on its own devices
         # and assembles global jax.Arrays from per-device shards. Rows are
@@ -49,6 +55,11 @@ class DeviceFeed:
             self._rows = local_rows(row_sh, batch_size)
 
     def _put_device(self, batch: dict[str, np.ndarray]):
+        if self.pack_s2d and batch["image"].shape[-1] == 3:
+            from basi_tpu.data.transforms import space_to_depth_host
+
+            batch = dict(batch)
+            batch["image"] = space_to_depth_host(batch["image"])
         if self.sharding is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
         if self._rows is not None:

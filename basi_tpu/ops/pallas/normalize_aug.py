@@ -24,6 +24,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _hflip_u8(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal flip of a uint8 batch in either feed layout.
+
+    Raw (N, H, W, 3): plain W reverse. Host-packed space-to-depth
+    (N, H/2, W/2, 12) with channel (a*2 + b)*3 + c: a full-image W flip
+    maps w = 2w' + b -> 2(W'-1-w') + (1-b), i.e. reverse the packed W'
+    axis AND swap the b sub-column blocks — a static channel permutation,
+    so the flip stays a cheap uint8 relayout (tested bitwise against
+    pack(flip(raw))).
+    """
+    n, h, w, c = images_u8.shape
+    if c == 3:
+        return jnp.flip(images_u8, axis=2)
+    if c == 12:
+        r = images_u8.reshape(n, h, w, 2, 2, 3)
+        return jnp.flip(r, axis=(2, 4)).reshape(n, h, w, 12)
+    raise ValueError(f"expected C=3 raw or C=12 s2d-packed input, got C={c}")
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def normalize_and_flip(
     images_u8: jnp.ndarray,
@@ -35,8 +54,10 @@ def normalize_and_flip(
 ) -> jnp.ndarray:
     """Normalize a uint8 NHWC batch and flip images where ``flip`` is set.
 
-    images_u8: (N, H, W, 3) uint8; flip: (N,) int32 0/1.
-    Returns (N, H, W, 3) in ``out_dtype``.
+    images_u8: (N, H, W, 3) uint8 — or the host-packed space-to-depth
+    layout (N, H/2, W/2, 12) the s2d stem consumes (channel (a*2+b)*3+c,
+    see models.resnet.space_to_depth); flip: (N,) int32 0/1.
+    Returns the same shape in ``out_dtype``.
     """
     n, h, w, c = images_u8.shape
     mean_a = jnp.asarray(mean, jnp.float32)
@@ -47,7 +68,7 @@ def normalize_and_flip(
     # lax.rev nor a cheap in-kernel reverse). The Pallas kernel fuses the
     # expensive part: u8 -> f32 -> (x/255 - mean)/std in one VMEM pass.
     sel = (flip > 0).reshape(-1, 1, 1, 1)
-    imgs = jnp.where(sel, jnp.flip(images_u8, axis=2), images_u8)
+    imgs = jnp.where(sel, _hflip_u8(images_u8), images_u8)
 
     # Block layout: a (1, H, W, C) block pads the C=3 lane dim to 128 and
     # blows the VMEM stack ~42x (measured: 64 MB scoped alloc vs the 16 MB
@@ -57,9 +78,12 @@ def normalize_and_flip(
     # and block over row groups to keep each grid step at ~50-200 KB. The
     # per-channel affine becomes a period-C pattern pre-tiled into one
     # (1, W*C) row.
+    # Per-channel affine pattern: period 3 (RGB) in the raw layout, and
+    # still period 3 in the s2d-packed layout (channels are 4 repeated RGB
+    # triples), so one tile count covers both.
     flat = imgs.reshape(n, h, w * c)
-    inv_std_row = jnp.tile(1.0 / std_a, w).reshape(1, w * c)
-    neg_mean_row = jnp.tile(-mean_a / std_a, w).reshape(1, w * c)
+    inv_std_row = jnp.tile(1.0 / std_a, (w * c) // 3).reshape(1, w * c)
+    neg_mean_row = jnp.tile(-mean_a / std_a, (w * c) // 3).reshape(1, w * c)
     rb = next(r for r in (32, 16, 8, 4, 2, 1) if h % r == 0)
 
     def kernel(img_ref, inv_std_ref, neg_mean_ref, out_ref):
@@ -96,8 +120,11 @@ def normalize_and_flip_reference(
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Unfused XLA reference (for tests / non-TPU backends)."""
-    x = images_u8.astype(jnp.float32) / 255.0
-    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
-    flipped = jnp.flip(x, axis=2)
+    c = images_u8.shape[-1]
+    mean_r = jnp.tile(jnp.asarray(mean, jnp.float32), c // 3)
+    std_r = jnp.tile(jnp.asarray(std, jnp.float32), c // 3)
     sel = (flip > 0).reshape(-1, 1, 1, 1)
-    return jnp.where(sel, flipped, x).astype(out_dtype)
+    imgs = jnp.where(sel, _hflip_u8(images_u8), images_u8)
+    x = imgs.astype(jnp.float32) / 255.0
+    x = (x - mean_r) / std_r
+    return x.astype(out_dtype)

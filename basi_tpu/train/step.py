@@ -103,6 +103,24 @@ def make_train_step(
             k_flip, cfg_data.hflip_prob, (n,)).astype(jnp.int32)
 
         # uint8 -> normalize + hflip fused on-device (Pallas on TPU).
+        # The image may arrive host-packed in the s2d stem's (N, H/2, W/2,
+        # 12) layout (data.pack_s2d): the fused ingest flips it analytically
+        # (W' reverse + b-block swap) and the s2d stem consumes it with zero
+        # device-side reorder copies — the train-side analogue of the
+        # inference host-packed feed (round-2 perf log).
+        packed = batch["image"].shape[-1] == 12
+        if packed:
+            from basi_tpu.data.transforms import wants_s2d_feed
+
+            if cfg_data.multiscale:
+                raise ValueError(
+                    "multiscale scale-jitter resamples the raw image; "
+                    "disable data.pack_s2d for multiscale training")
+            if not wants_s2d_feed(model):
+                raise ValueError(
+                    "got an s2d-packed (C=12) batch but the model stem is "
+                    f"{getattr(model, 'stem_mode', 'conv7')!r} on backbone "
+                    f"{getattr(model, 'backbone', '?')!r}")
         norm = normalize_and_flip if use_pallas else normalize_and_flip_reference
         imgs = norm(batch["image"], flip, mean=mean, std=std,
                     out_dtype=model.dtype)

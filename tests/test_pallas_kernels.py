@@ -167,3 +167,33 @@ def test_resize_bilinear_pallas_forced_matches_einsum(rng, monkeypatch):
         lambda v, f, interpret: orig(v, f, True))
     got = np.asarray(R.resize_bilinear(x, (24, 16)), np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_and_flip_s2d_packed_interpret(rng):
+    """Host-packed s2d ingest: kernel(pack(x)) == pack(kernel(x)) — the
+    packed flip (W'-reverse + b sub-column swap) must equal flip-then-pack
+    and the period-3 affine must tile across the 12 packed channels."""
+    from basi_tpu.models.resnet import space_to_depth
+
+    imgs = (rng.rand(3, 24, 32, 3) * 255).astype(np.uint8)
+    flip = np.array([1, 0, 1], np.int32)
+    packed = space_to_depth(jnp.asarray(imgs), 2)
+    got = np.asarray(normalize_and_flip(
+        packed, jnp.asarray(flip), interpret=True))
+    want = np.asarray(space_to_depth(normalize_and_flip_reference(
+        jnp.asarray(imgs), jnp.asarray(flip)), 2))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_normalize_and_flip_reference_s2d_packed_bitwise(rng):
+    """The XLA reference path must satisfy the same pack/flip commutation
+    BITWISE (identical float ops, only relayouts differ)."""
+    from basi_tpu.models.resnet import space_to_depth
+
+    imgs = (rng.rand(2, 16, 16, 3) * 255).astype(np.uint8)
+    flip = np.array([1, 1], np.int32)
+    got = np.asarray(normalize_and_flip_reference(
+        space_to_depth(jnp.asarray(imgs), 2), jnp.asarray(flip)))
+    want = np.asarray(space_to_depth(normalize_and_flip_reference(
+        jnp.asarray(imgs), jnp.asarray(flip)), 2))
+    np.testing.assert_array_equal(got, want)

@@ -134,3 +134,69 @@ def test_steps_per_dispatch_matches_per_step_training(tmp_path):
                     jax.tree_util.tree_leaves(s3.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-6, rtol=1e-3)
+
+
+def test_packed_s2d_feed_matches_raw_bitwise(setup):
+    """Host-packed s2d train feed (data pipeline pack_s2d): the step must
+    produce the same loss/params from the packed (N,H/2,W/2,12) uint8
+    batch as from the raw (N,H,W,3) batch — the packed flip + period-3
+    normalize commute with the relayout exactly; the two PROGRAMS differ
+    by one transpose, so XLA fusion may reassociate within the last ulp
+    (measured 1-ulp loss delta on CPU), hence near-exact tolerances."""
+    import dataclasses
+
+    from basi_tpu.data.transforms import space_to_depth_host
+    from basi_tpu.train.state import create_train_state, make_optimizer
+
+    cfg, *_ = setup
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem_mode="s2d"))
+    model = create_model(cfg.model)
+    tx, _ = make_optimizer(cfg.train, max_steps=10)
+    state = create_train_state(model, cfg.model, cfg.train, max_steps=10)
+    step = make_train_step(model, tx, cfg.train, cfg.data, mesh=None,
+                           donate=False)
+    batch = tiny_batch(np.random.RandomState(7))
+    raw = {k: jnp.asarray(v) for k, v in batch.items()}
+    packed = dict(raw)
+    packed["image"] = jnp.asarray(space_to_depth_host(batch["image"]))
+
+    s_raw, m_raw = step(state, raw)
+    s_pk, m_pk = step(state, packed)
+    np.testing.assert_allclose(np.asarray(m_raw["loss"]),
+                               np.asarray(m_pk["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_raw.params),
+                    jax.tree.leaves(s_pk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_packed_feed_rejected_for_conv7_and_multiscale(setup):
+    import dataclasses
+
+    from basi_tpu.data.transforms import space_to_depth_host
+    from basi_tpu.train.state import make_optimizer
+
+    cfg, model, tx, state = setup  # conv7 stem
+    step = make_train_step(model, tx, cfg.train, cfg.data, mesh=None,
+                           donate=False)
+    batch = tiny_batch(np.random.RandomState(8))
+    packed = {k: jnp.asarray(v) for k, v in batch.items()}
+    packed["image"] = jnp.asarray(space_to_depth_host(batch["image"]))
+    with pytest.raises(ValueError, match="s2d-packed"):
+        step(state, packed)
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, stem_mode="s2d"),
+        data=dataclasses.replace(cfg.data, multiscale=True),
+    )
+    model2 = create_model(cfg2.model)
+    tx2, _ = make_optimizer(cfg2.train, max_steps=10)
+    from basi_tpu.train.state import create_train_state
+
+    state2 = create_train_state(model2, cfg2.model, cfg2.train, max_steps=10)
+    step2 = make_train_step(model2, tx2, cfg2.train, cfg2.data, mesh=None,
+                            donate=False)
+    with pytest.raises(ValueError, match="multiscale"):
+        step2(state2, packed)
