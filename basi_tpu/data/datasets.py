@@ -367,6 +367,16 @@ def make_dataset(cfg_data, split: str | None = None):
             max_instances=cfg_data.max_instances, split=split,
             decode_backend=cfg_data.decode_backend,
         )
+    if cfg_data.dataset == "coco":
+        from basi_tpu.data.coco import CocoDataset
+
+        root = cfg_data.root or os.path.join("data", "coco")
+        return CocoDataset(
+            root, image_size=cfg_data.image_size,
+            max_instances=cfg_data.max_instances, split=split,
+            decode_backend=cfg_data.decode_backend,
+            ann_file=getattr(cfg_data, "ann_file", ""),
+        )
     raise ValueError(f"unknown dataset {cfg_data.dataset!r}")
 
 

@@ -1,0 +1,188 @@
+"""COCO-format dataset: RLE/polygon decoding and the Sample contract."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from basi_tpu.data.coco import (
+    CocoDataset,
+    polygons_to_mask,
+    rle_decompress,
+    rle_to_mask,
+    segmentation_to_mask,
+)
+
+
+def _mask_to_counts(mask: np.ndarray) -> list[int]:
+    """Inverse of rle_to_mask (column-major runs, starts with 0-run)."""
+    flat = mask.T.reshape(-1)
+    counts = []
+    val = 0
+    run = 0
+    for v in flat:
+        if v == val:
+            run += 1
+        else:
+            counts.append(run)
+            val = v
+            run = 1
+    counts.append(run)
+    return counts
+
+
+def _compress(counts: list[int]) -> str:
+    """Test-side twin of the COCO string encoder (delta + 5-bit LEB)."""
+    s = bytearray()
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            s.append(c + 48)
+    return s.decode("ascii")
+
+
+def test_rle_roundtrip_random():
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(23, 31) > 0.6).astype(np.uint8)
+    counts = _mask_to_counts(mask)
+    np.testing.assert_array_equal(rle_to_mask(counts, 23, 31), mask)
+    # compressed string form round-trips through the decoder too
+    np.testing.assert_array_equal(
+        rle_to_mask(rle_decompress(_compress(counts)), 23, 31), mask)
+
+
+def test_rle_column_major_orientation():
+    # 2x3 mask with a single pixel at (row 1, col 0): column-major runs
+    # are [1, 1, 4] (one 0, one 1, four 0s).
+    m = rle_to_mask([1, 1, 4], 2, 3)
+    want = np.zeros((2, 3), np.uint8)
+    want[1, 0] = 1
+    np.testing.assert_array_equal(m, want)
+
+
+def test_polygon_fill_square():
+    m = polygons_to_mask([[2.0, 2.0, 8.0, 2.0, 8.0, 8.0, 2.0, 8.0]], 12, 12)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    # PIL fills the closed polygon incl. outline: area close to 7x7
+    assert 36 <= int(m.sum()) <= 64
+
+
+def test_segmentation_dispatch():
+    rle = {"size": [4, 4], "counts": [3, 1, 12]}
+    m = segmentation_to_mask(rle, 4, 4)
+    assert m.sum() == 1 and m[3, 0] == 1
+    with pytest.raises(ValueError, match="size"):
+        segmentation_to_mask({"size": [2, 2], "counts": [4]}, 4, 4)
+
+
+def _write_coco_tree(root, n_extra_anns=0):
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img_dir = os.path.join(root, "val")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    images, annotations = [], []
+    aid = 1
+    # image 1: 40x64 (non-square -> letterbox path), polygon + RLE anns
+    for iid, (h, w) in enumerate([(40, 64), (32, 32)], start=1):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f"im{iid}.jpg"
+        Image.fromarray(arr).save(os.path.join(img_dir, name), quality=95)
+        images.append({"id": iid, "file_name": name,
+                       "height": h, "width": w})
+        # big polygon box (largest -> slot 0)
+        annotations.append({
+            "id": aid, "image_id": iid, "category_id": 1,
+            "segmentation": [[2, 2, w * 0.6, 2, w * 0.6, h * 0.6,
+                              2, h * 0.6]],
+            "area": (w * 0.6 - 2) * (h * 0.6 - 2), "iscrowd": 0})
+        aid += 1
+        # small RLE blob (uncompressed): 3x3 square at (1,1)
+        m = np.zeros((h, w), np.uint8)
+        m[1:4, 1:4] = 1
+        annotations.append({
+            "id": aid, "image_id": iid, "category_id": 2,
+            "segmentation": {"size": [h, w],
+                             "counts": _mask_to_counts(m)},
+            "area": 9.0, "iscrowd": 0})
+        aid += 1
+        # crowd region: must be skipped
+        annotations.append({
+            "id": aid, "image_id": iid, "category_id": 3,
+            "segmentation": {"size": [h, w],
+                             "counts": _compress(_mask_to_counts(m))},
+            "area": 9.0, "iscrowd": 1})
+        aid += 1
+    with open(os.path.join(ann_dir, "instances_val.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1}, {"id": 2}, {"id": 3}]}, f)
+
+
+def test_coco_dataset_end_to_end(tmp_path):
+    root = str(tmp_path / "coco")
+    os.makedirs(root)
+    _write_coco_tree(root)
+    ds = CocoDataset(root, image_size=64, max_instances=4, split="val")
+    assert len(ds) == 2
+    s = ds.get(0)
+    assert s.image.shape == (64, 64, 3) and s.image.dtype == np.uint8
+    assert s.masks.shape == (4, 64, 64)
+    # crowd skipped: exactly 2 valid instances, largest (polygon) first
+    np.testing.assert_array_equal(s.valid, [1, 1, 0, 0])
+    assert s.masks[0].sum() > s.masks[1].sum() > 0
+    # im1.jpg is 40x64: letterboxed content is 40x64 (fits exactly)
+    np.testing.assert_array_equal(s.orig_hw, [40, 64])
+    np.testing.assert_array_equal(s.valid_hw, [40, 64])
+    assert s.masks[:, 40:].sum() == 0  # nothing below the content rows
+
+    # original-resolution GT for ap_at_original
+    mo, vo = ds.get_orig_masks(0)
+    assert mo.shape == (4, 40, 64)
+    np.testing.assert_array_equal(vo, [1, 1, 0, 0])
+    assert mo[1].sum() == 9  # the 3x3 RLE blob, exact at native res
+
+    # batch decode path produces identical samples
+    batch = ds.get_batch([0, 1])
+    for bi, i in enumerate([0, 1]):
+        one = ds.get(i)
+        np.testing.assert_array_equal(batch[bi].image, one.image)
+        np.testing.assert_array_equal(batch[bi].masks, one.masks)
+        np.testing.assert_array_equal(batch[bi].valid, one.valid)
+
+
+def test_coco_via_make_dataset_and_epoch(tmp_path):
+    import dataclasses
+
+    from basi_tpu.data.datasets import iter_epoch, make_dataset
+    from helpers import tiny_config
+
+    root = str(tmp_path / "coco")
+    os.makedirs(root)
+    _write_coco_tree(root)
+    cfg = tiny_config()
+    dcfg = dataclasses.replace(
+        cfg.data, dataset="coco", root=root, split="val", image_size=64,
+        max_instances=4)
+    ds = make_dataset(dcfg, split="val")
+    assert type(ds).__name__ == "CocoDataset"
+    batches = list(iter_epoch(ds, 2, shuffle=False, seed=0))
+    assert len(batches) == 1
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+    assert batches[0]["masks"].shape == (2, 4, 64, 64)
+
+
+def test_coco_missing_annotations_raises(tmp_path):
+    root = str(tmp_path / "empty")
+    os.makedirs(os.path.join(root, "annotations"))
+    with pytest.raises(FileNotFoundError, match="ann"):
+        CocoDataset(root, split="val")
