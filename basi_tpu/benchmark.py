@@ -101,7 +101,8 @@ def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict
     }
 
 
-def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3) -> dict:
+def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3,
+                 extra_overrides: list | None = None) -> dict:
     import dataclasses
 
     import jax
@@ -113,7 +114,7 @@ def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3) -> dict
     from basi_tpu.train.state import create_train_state, make_optimizer
     from basi_tpu.train.step import make_train_step
 
-    cfg = get_config("train_ilso_1ep")
+    cfg = get_config("train_ilso_1ep", list(extra_overrides or []))
     model = create_model(cfg.model)
     tx, _ = make_optimizer(cfg.train, max_steps=1000)
     state = create_train_state(model, cfg.model, cfg.train, max_steps=1000)
@@ -128,9 +129,15 @@ def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3) -> dict
     # instance stats) out of the loop and understate the real per-step cost.
     # This matches the product path exactly (train.steps_per_dispatch runs
     # the same stacked-batch scan).
+    raw = (rng.rand(iters, batch_size, size, size, 3) * 255).astype(np.uint8)
+    from basi_tpu.data.transforms import space_to_depth_host, wants_s2d_feed
+
+    if wants_s2d_feed(cfg.model) and not cfg.data.multiscale:
+        # Same host-packed s2d feed the Trainer's DeviceFeed ships
+        # (pack_s2d): zero device-side reorder copies.
+        raw = np.stack([space_to_depth_host(b) for b in raw])
     batches = {
-        "image": jnp.asarray((rng.rand(iters, batch_size, size, size, 3)
-                              * 255).astype(np.uint8)),
+        "image": jnp.asarray(raw),
         "masks": jnp.asarray((rng.rand(iters, batch_size, m, size, size)
                               > 0.8).astype(np.uint8)),
         "valid": jnp.asarray(np.ones((iters, batch_size, m), np.uint8)),
@@ -156,7 +163,8 @@ def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3) -> dict
     dt = time.perf_counter() - t0  # total for ``iters`` steps
     ms = dt / iters * 1000
     return {
-        "metric": f"train step ms (batch {batch_size}, 512x512, f32)",
+        "metric": (f"train step ms (batch {batch_size}, 512x512, "
+                   f"{cfg.model.dtype})"),
         "value": round(ms, 2),
         "unit": "ms/step",
         "vs_baseline": round((batch_size / (dt / iters)) / 1000.0, 3),
@@ -262,9 +270,13 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
     }
 
 
-def run(mode: str = "infer") -> int:
-    result = {"infer": _bench_infer, "train": _bench_train,
-              "e2e": _bench_e2e}[mode]()
+def run(mode: str = "infer", overrides: list | None = None) -> int:
+    fns = {"infer": _bench_infer, "train": _bench_train, "e2e": _bench_e2e}
+    if overrides and mode == "infer":
+        raise SystemExit("--set is supported for --mode train/e2e only "
+                         "(the infer headline config is pinned)")
+    result = fns[mode](**({"extra_overrides": overrides}
+                          if overrides and mode in ("train", "e2e") else {}))
     print(json.dumps(result))
     return 0
 
@@ -272,5 +284,8 @@ def run(mode: str = "infer") -> int:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="infer", choices=["infer", "train", "e2e"])
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="dotted config override (train/e2e modes), e.g. "
+                        "--set model.dtype=bfloat16")
     args = p.parse_args()
-    raise SystemExit(run(args.mode))
+    raise SystemExit(run(args.mode, args.overrides))

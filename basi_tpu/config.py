@@ -39,9 +39,12 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"  # synthetic | ilso | soc | folder
+    dataset: str = "synthetic"  # synthetic | ilso | soc | folder | coco
     root: str = ""
     split: str = "train"
+    # COCO only: explicit annotation JSON (default: root/annotations/
+    # instances_<split>*.json) — the config-5 stretch run's format.
+    ann_file: str = ""
     batch_size: int = 16
     image_size: int = 512
     max_instances: int = 8  # GT instance slots per image (padded)
@@ -129,6 +132,7 @@ class Config:
     profile: bool = False
     profile_dir: str = "./profile"
     metrics_path: str = ""  # "" -> stdout only; else JSONL file
+    tensorboard_dir: str = ""  # "" -> off; else TB event files (scalars)
 
 
 def _replace_path(cfg: Any, dotted: str, value: str) -> Any:

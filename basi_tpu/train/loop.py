@@ -54,10 +54,13 @@ class Trainer:
                     mesh, P(cfg.parallel.data_axis, *([None] * (v.ndim - 1)))
                 )
 
+        from basi_tpu.data.transforms import wants_s2d_feed
+
         self.feed = DeviceFeed(
             self.dataset, cfg.data.batch_size, shuffle=True,
             seed=cfg.train.seed, sharding=sharding,
             depth=cfg.data.prefetch_depth,
+            pack_s2d=wants_s2d_feed(self.model) and not cfg.data.multiscale,
         )
         steps_per_epoch = self.feed.steps_per_epoch()
         if steps_per_epoch <= 0:
@@ -102,7 +105,9 @@ class Trainer:
         # step outputs); only process 0 writes the console/JSONL stream.
         log_here = self.process_index == 0
         self.logger = MetricLogger(cfg.metrics_path if log_here else "",
-                                   console=log_here)
+                                   console=log_here,
+                                   tensorboard_dir=(cfg.tensorboard_dir
+                                                    if log_here else ""))
         self.timer = StepTimer()
 
     def _group_step(self):

@@ -4,7 +4,10 @@ The reference logs via ``Tools.print`` to stdout and saves mask PNGs. Here:
 structured JSONL metric records (one object per line: step, loss, lr,
 step_ms, imgs/s, AP...) plus the same human-readable console line; PNG mask
 dumps stay available behind ``infer.save_png`` as the de-facto reference
-observability.
+observability. ``tensorboard_dir`` additionally streams every numeric
+record into TensorBoard event files (torch's pure-python SummaryWriter —
+no TF runtime on the hot path; the writer is created lazily and failures
+degrade to a one-time warning, never break training).
 """
 
 from __future__ import annotations
@@ -15,10 +18,22 @@ from typing import Any, IO
 
 
 class MetricLogger:
-    def __init__(self, path: str = "", console: bool = True):
+    def __init__(self, path: str = "", console: bool = True,
+                 tensorboard_dir: str = ""):
         self.console = console
         self._fh: IO | None = open(path, "a") if path else None
         self._t0 = time.time()
+        self._tb = None
+        self._n = 0
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=tensorboard_dir)
+            except Exception as e:  # pragma: no cover - env-dependent
+                import warnings
+
+                warnings.warn(f"tensorboard writer unavailable: {e}")
 
     def log(self, record: dict[str, Any], prefix: str = ""):
         rec = {"t": round(time.time() - self._t0, 3)}
@@ -31,6 +46,15 @@ class MetricLogger:
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb is not None:
+            self._n += 1
+            step = rec.get("step", self._n)
+            tag = prefix.strip("[] ") or "metrics"
+            for k, v in rec.items():
+                if k in ("t", "step") or isinstance(v, bool):
+                    continue
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"{tag}/{k}", v, int(step))
         if self.console:
             parts = [f"{k}={v}" for k, v in rec.items() if k != "t"]
             print((prefix + " " if prefix else "") + " ".join(parts), flush=True)
@@ -38,6 +62,8 @@ class MetricLogger:
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def save_mask_pngs(out_dir: str, name: str, masks, scores,
