@@ -15,7 +15,7 @@ from typing import Any
 
 @dataclass(frozen=True)
 class ModelConfig:
-    backbone: str = "resnet50"  # resnet50 | vgg16
+    backbone: str = "resnet50"  # resnet50 | resnet101 | resnet152 | vgg16
     fpn_channels: int = 256
     mask_channels: int = 64  # unified mask-feature embedding dim E
     grid_size: int = 16  # SxS instance cell grid (per level group)
@@ -85,6 +85,13 @@ class TrainConfig:
     keep_checkpoints: int = 3
     resume: str = "auto"  # auto | none | <path>
     remat: bool = False  # jax.checkpoint the backbone to save HBM
+    # Gradient accumulation: split each batch into this many micro-batches,
+    # scan them inside the step (BN running stats update sequentially per
+    # micro-batch, torch-style), average the micro gradients, and apply ONE
+    # optimizer update. Fits a large effective batch in fixed HBM; each
+    # micro-batch is loss-normalized within itself (so positives-weighted
+    # normalization matches torch accumulation, not one giant batch).
+    grad_accum: int = 1
     # Steps executed inside ONE jitted dispatch (lax.scan over stacked
     # batches). Measured a wash on the single-chip axon setup (async
     # dispatches already pipeline; see train/step.py make_group_step) —

@@ -94,9 +94,13 @@ def make_train_step(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    def local_step(state: TrainState, batch: dict[str, jnp.ndarray], shard_idx):
-        rng = jax.random.fold_in(state.rng, state.step)
-        rng = jax.random.fold_in(rng, shard_idx)
+    accum = max(1, int(getattr(cfg_train, "grad_accum", 1)))
+
+    def micro_grads(params, batch_stats, batch: dict[str, jnp.ndarray], rng):
+        """Augment one (micro-)batch and return (loss, metrics, new_stats,
+        grads) — the unit both the plain step and gradient accumulation
+        share. BN normalizes with CURRENT batch statistics in train mode,
+        so grads do not depend on the running-stats carry."""
         n = batch["image"].shape[0]
         k_flip, k_aug = jax.random.split(rng)
         flip = jax.random.bernoulli(
@@ -164,9 +168,49 @@ def make_train_step(
             masks = small.astype(jnp.float32)
 
         (loss, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, imgs, masks, batch["valid"],
-            gt_stats,
+            params, batch_stats, imgs, masks, batch["valid"], gt_stats,
         )
+        return loss, metrics, new_stats, grads
+
+    def local_step(state: TrainState, batch: dict[str, jnp.ndarray], shard_idx):
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng = jax.random.fold_in(rng, shard_idx)
+
+        if accum == 1:
+            _, metrics, new_stats, grads = micro_grads(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            # Gradient accumulation: scan micro-batches, thread BN running
+            # stats sequentially (torch semantics), accumulate the MEAN
+            # gradient in the carry (one grads-sized buffer, not accum of
+            # them), apply one optimizer update below. Each micro-batch is
+            # loss-normalized within itself, exactly like running torch
+            # accumulation steps; metrics are scanned out (tiny scalars)
+            # and averaged.
+            n = batch["image"].shape[0]
+            if n % accum:
+                raise ValueError(
+                    f"train.grad_accum={accum} does not divide the "
+                    f"(per-shard) batch size {n}")
+            micro = {
+                k: batch[k].reshape(accum, n // accum, *batch[k].shape[1:])
+                for k in _USED_KEYS
+            }
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, p.dtype), state.params)
+
+            def scan_body(carry, xs):
+                stats, g_acc = carry
+                mb, idx = xs
+                _, m, stats, g = micro_grads(
+                    state.params, stats, mb, jax.random.fold_in(rng, idx))
+                g_acc = jax.tree.map(lambda a, b: a + b / accum, g_acc, g)
+                return (stats, g_acc), m
+
+            (new_stats, grads), ms = jax.lax.scan(
+                scan_body, (state.batch_stats, zero_g),
+                (micro, jnp.arange(accum)))
+            metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
 
         if mesh is not None:
             # The loss is GLOBALLY normalized (psum-ed num/den inside the

@@ -200,3 +200,62 @@ def test_packed_feed_rejected_for_conv7_and_multiscale(setup):
                             donate=False)
     with pytest.raises(ValueError, match="multiscale"):
         step2(state2, packed)
+
+
+def test_grad_accum_matches_single_on_duplicated_micros(setup):
+    """grad_accum=2 with the micro-batch DUPLICATED must produce the same
+    parameter update as grad_accum=1 on the micro-batch: BN normalizes with
+    current batch statistics in train mode, so both micros yield identical
+    gradients, whose mean is that gradient. Running stats apply the EMA
+    twice (torch accumulation semantics) — checked against the closed form
+    s2 = m*s1 + (1-m)*sigma = (1+m)*s1 - m*s0 with flax momentum m=0.9."""
+    import dataclasses
+
+    from basi_tpu.train.state import create_train_state, make_optimizer
+
+    cfg, *_ = setup
+    data_cfg = dataclasses.replace(cfg.data, hflip_prob=0.0, multiscale=False)
+    train2 = dataclasses.replace(cfg.train, grad_accum=2)
+
+    model = create_model(cfg.model)
+    tx, _ = make_optimizer(cfg.train, max_steps=10)
+    state = create_train_state(model, cfg.model, cfg.train, max_steps=10)
+
+    half = tiny_batch(np.random.RandomState(3), n=4)
+    dup = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+    half = {k: jnp.asarray(v) for k, v in half.items()}
+    dup = {k: jnp.asarray(v) for k, v in dup.items()}
+
+    step1 = make_train_step(model, tx, cfg.train, data_cfg, mesh=None,
+                            donate=False)
+    step2 = make_train_step(model, tx, train2, data_cfg, mesh=None,
+                            donate=False)
+
+    s1, m1 = step1(state, half)
+    s2, m2 = step2(state, dup)
+
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    mom = 0.9  # flax BatchNorm momentum in every ConvBN
+    for s0_l, s1_l, s2_l in zip(jax.tree.leaves(state.batch_stats),
+                                jax.tree.leaves(s1.batch_stats),
+                                jax.tree.leaves(s2.batch_stats)):
+        want = (1.0 + mom) * np.asarray(s1_l) - mom * np.asarray(s0_l)
+        np.testing.assert_allclose(np.asarray(s2_l), want,
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_rejects_indivisible_batch(setup):
+    import dataclasses
+
+    cfg, model, tx, state = setup
+    train3 = dataclasses.replace(cfg.train, grad_accum=3)
+    step = make_train_step(model, tx, train3, cfg.data, mesh=None,
+                           donate=False)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(
+        np.random.RandomState(4)).items()}  # n=8, 3 does not divide it
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(state, batch)
