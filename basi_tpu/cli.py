@@ -92,9 +92,10 @@ def cmd_import(args) -> int:
     """
     from basi_tpu.utils.checkpoint import export_params
 
+    from basi_tpu.models.resnet import STAGE_SIZES
+
     cfg = _build_cfg(args)
-    if args.what == "full" and cfg.model.backbone not in ("resnet50",
-                                                          "resnet_tiny"):
+    if args.what == "full" and cfg.model.backbone not in STAGE_SIZES:
         # Fail BEFORE loading the torch file: import_basinet only maps
         # ResNet-style state_dicts; letting e.g. vgg16 fall through used to
         # die with an opaque missing-key error deep in the converter.
@@ -102,8 +103,7 @@ def cmd_import(args) -> int:
             f"full import unsupported for backbone {cfg.model.backbone!r} "
             f"(ResNet state_dicts only; use --what backbone for vgg16)")
     sd = _load_torch_state_dict(args.torch)
-    stage_sizes = ((1, 1, 1, 1) if cfg.model.backbone == "resnet_tiny"
-                   else (3, 4, 6, 3))
+    stage_sizes = STAGE_SIZES.get(cfg.model.backbone, (3, 4, 6, 3))
     if args.what == "full":
         from basi_tpu.convert.full_import import import_basinet
 
@@ -120,7 +120,7 @@ def cmd_import(args) -> int:
         params, stats = init_model(model, cfg.model.image_size)
         if cfg.model.backbone == "vgg16":
             bb_params, bb_stats = import_vgg16_backbone(sd)
-        elif cfg.model.backbone in ("resnet50", "resnet_tiny"):
+        elif cfg.model.backbone in STAGE_SIZES:
             bb_params, bb_stats = import_resnet50_backbone(sd, stage_sizes)
         else:
             raise ValueError(
@@ -184,7 +184,7 @@ def cmd_serve(args) -> int:
 def cmd_bench(args) -> int:
     from basi_tpu.benchmark import run  # packaged: works installed too
 
-    return run(mode=args.mode)
+    return run(mode=args.mode, overrides=getattr(args, "overrides", []))
 
 
 def main(argv=None) -> int:
@@ -226,6 +226,9 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.add_argument("--mode", default="infer", choices=["infer", "train", "e2e"])
+    p_bench.add_argument("--set", dest="overrides", action="append",
+                         default=[], metavar="KEY.PATH=VALUE",
+                         help="config override (train/e2e modes)")
     p_bench.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

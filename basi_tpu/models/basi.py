@@ -57,15 +57,14 @@ class BASINet(nn.Module):
         (ops.nms.select_instances_from_kernels)."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         trunk_kwargs = dict(name="backbone", bn_axis=self.bn_axis, **kw)
-        if self.backbone == "resnet50":
+        from basi_tpu.models.resnet import STAGE_SIZES
+
+        if self.backbone in STAGE_SIZES:  # resnet50/101/152/_tiny
             trunk_cls = ResNet50
+            trunk_kwargs["stage_sizes"] = STAGE_SIZES[self.backbone]
             trunk_kwargs["stem_mode"] = self.stem_mode
         elif self.backbone == "vgg16":
             trunk_cls = VGG16
-        elif self.backbone == "resnet_tiny":  # 1-block stages, for fast tests
-            trunk_cls = ResNet50
-            trunk_kwargs["stage_sizes"] = (1, 1, 1, 1)
-            trunk_kwargs["stem_mode"] = self.stem_mode
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
         if self.remat:

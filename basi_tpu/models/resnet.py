@@ -19,6 +19,17 @@ import jax.numpy as jnp
 from basi_tpu.ops.pool import max_pool
 
 
+# Bottleneck-count presets, torchvision numbering. Depths beyond 50 reuse
+# the same block/stem modules, so torch imports work for all of them
+# (convert.torch_import is stage-size-parameterized).
+STAGE_SIZES = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+    "resnet_tiny": (1, 1, 1, 1),  # 1-block stages, for fast tests
+}
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm, torch-compatible hyperparameters."""
 

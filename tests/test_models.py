@@ -53,3 +53,32 @@ def test_train_mode_updates_batch_stats(rng):
                         jax.tree.leaves(mut["batch_stats"]))
     )
     assert changed
+
+
+def test_resnet_depth_variants_structure():
+    """resnet101/152 share the resnet50 block/stem modules with torchvision
+    stage counts (models.resnet.STAGE_SIZES); structure is checked abstractly
+    (jax.eval_shape - no FLOPs) so the deep variants stay fast-tier."""
+    from basi_tpu.models.resnet import STAGE_SIZES
+
+    for name in ("resnet101", "resnet152"):
+        m = BASINet(backbone=name, fpn_channels=32, mask_channels=32,
+                    grid_size=8)
+        shapes = jax.eval_shape(
+            lambda m=m: m.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3), jnp.float32),
+                               train=False))
+        bb = shapes["params"]["backbone"]
+        for stage, blocks in enumerate(STAGE_SIZES[name], start=1):
+            assert f"layer{stage}_{blocks - 1}" in bb, (name, stage)
+            assert f"layer{stage}_{blocks}" not in bb, (name, stage)
+        # Bottleneck widths match torchvision (stage 4 expands to 2048).
+        assert bb["layer4_0"]["c"]["conv"]["kernel"].shape[-1] == 2048
+
+
+def test_unknown_backbone_rejected():
+    with pytest.raises(ValueError, match="unknown backbone"):
+        BASINet(backbone="resnet18", fpn_channels=32, mask_channels=32,
+                grid_size=8).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=False)
