@@ -61,6 +61,35 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """GT-free prediction (the reference MyTest UX): raw image files or
+    directories in, one labeled-instance mask PNG per image out."""
+    import os
+
+    from basi_tpu.data.datasets import FolderDataset
+    from basi_tpu.infer import Inferencer
+
+    cfg = _build_cfg(args)
+    paths: list[str] = []
+    for p in args.images:
+        if os.path.isdir(p):
+            paths.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.lower().endswith(FolderDataset.IMG_EXTS)))
+        elif os.path.isfile(p):
+            paths.append(p)
+        else:
+            raise FileNotFoundError(f"no such image or directory: {p}")
+    if not paths:
+        raise SystemExit(f"no images found under {args.images}")
+    inf = Inferencer(cfg, checkpoint=args.checkpoint)
+    out_dir = args.out or cfg.infer.output_dir
+    results = inf.predict_paths(paths, out_dir=out_dir)
+    print(json.dumps({"images": len(results), "out": out_dir,
+                      "results": results}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Convert a Trainer checkpoint to a bare params export for serving."""
     import dataclasses
@@ -201,6 +230,15 @@ def main(argv=None) -> int:
         p_inf.add_argument("--checkpoint", default="", help="orbax params dir")
         p_inf.add_argument("--max-batches", type=int, default=0)
         p_inf.set_defaults(fn=cmd_infer)
+
+    p_pred = sub.add_parser(
+        "predict", help="images in, instance-mask PNGs out (no labels)")
+    _add_common(p_pred)
+    p_pred.add_argument("--images", nargs="+", required=True,
+                        help="image files and/or directories")
+    p_pred.add_argument("--checkpoint", default="", help="orbax params dir")
+    p_pred.add_argument("--out", default="", help="PNG output dir")
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_exp = sub.add_parser("export", help="trainer ckpt -> serving params")
     _add_common(p_exp)

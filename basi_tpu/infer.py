@@ -275,6 +275,9 @@ class Inferencer:
             )
             self._replicate_weights()
         self._orig_iou_cache = {}
+        # One jitted upsample program reused across predict_paths batches
+        # (a fresh jax.jit wrapper per call would re-trace every batch).
+        self._full_fn = jax.jit(self._to_full_res)
 
     def _orig_iou_fn(self, canvas_hw: tuple[int, int]):
         """One jitted paste+IoU program per canvas bucket (static shapes;
@@ -342,7 +345,63 @@ class Inferencer:
         masks, scores, out = self._run(self.params, self.batch_stats, images_u8)
         return masks, scores, out
 
-    def _save_batch_pngs(self, bi: int, batch: dict, full, scores_h):
+    def predict_paths(self, paths, out_dir: str = "") -> list[dict]:
+        """GT-free prediction over raw image FILES (SURVEY §2.1: the
+        reference's MyTest usage — images in, mask PNGs out, no labels
+        needed). decode+letterbox -> jitted forward+NMS -> fused upsample
+        -> paste to original resolution -> one labeled-instance PNG per
+        input stem under ``out_dir``. Returns one
+        ``{"path", "instances", "scores"}`` summary per input."""
+        import os
+
+        from basi_tpu.data.datasets import letterbox_params
+        from basi_tpu.data.native import get_decoder
+        from basi_tpu.data.transforms import space_to_depth_host, wants_s2d_feed
+
+        cfg = self.cfg
+        size = cfg.model.image_size
+        bs = cfg.infer.batch_size
+        out_dir = out_dir or cfg.infer.output_dir
+        backend = cfg.data.decode_backend
+        decoder = get_decoder("auto" if backend == "synthetic" else backend)
+        pack = wants_s2d_feed(self.model)
+        thr = cfg.infer.score_threshold
+        results: list[dict] = []
+        for start in range(0, len(paths), bs):
+            chunk = [str(p) for p in paths[start:start + bs]]
+            n_real = len(chunk)
+            if hasattr(decoder, "decode_letterbox_batch"):
+                imgs, hws = decoder.decode_letterbox_batch(chunk, size)
+            else:
+                dec = [decoder.decode_letterbox(p, size) for p in chunk]
+                imgs, hws = [d[0] for d in dec], [d[1] for d in dec]
+            # Static batch shape: pad a short tail by repeating row 0
+            # (one compiled program for every batch, incl. the last).
+            idx = [i if i < n_real else 0 for i in range(bs)]
+            arr = np.stack([np.asarray(imgs[i]) for i in idx])
+            orig_hw = np.array(
+                [[int(hws[i][0]), int(hws[i][1])] for i in idx], np.int32)
+            valid_hw = np.array(
+                [letterbox_params(int(hws[i][0]), int(hws[i][1]), size)
+                 for i in idx], np.int32)
+            feed = space_to_depth_host(arr) if pack else arr
+            masks, scores, _ = self._run(
+                self.params, self.batch_stats, jnp.asarray(feed))
+            full = self._full_fn(masks)
+            scores_h = np.asarray(jax.device_get(scores))
+            batch = {"orig_hw": orig_hw, "valid_hw": valid_hw,
+                     "num_real": np.int32(n_real)}
+            names = [os.path.splitext(os.path.basename(p))[0] for p in chunk]
+            self._save_batch_pngs(start // bs, batch, full, scores_h,
+                                  out_dir=out_dir, names=names)
+            for i in range(n_real):
+                kept = [float(s) for s in scores_h[i] if s >= thr and s > 0]
+                results.append({"path": chunk[i], "instances": len(kept),
+                                "scores": kept})
+        return results
+
+    def _save_batch_pngs(self, bi: int, batch: dict, full, scores_h,
+                         out_dir: str = "", names: list[str] | None = None):
         """Paste masks to ORIGINAL resolution and dump PNGs (reference
         behavior). The paste canvas is a static 512-multiple bucket sized
         to the batch's largest original image (one XLA program per bucket),
@@ -371,7 +430,8 @@ class Inferencer:
             oh = min(int(batch["orig_hw"][i][0]), ch)
             ow = min(int(batch["orig_hw"][i][1]), cw)
             save_mask_pngs(
-                cfg.infer.output_dir, f"b{bi}_i{i}",
+                out_dir or cfg.infer.output_dir,
+                names[i] if names else f"b{bi}_i{i}",
                 pasted[i][:, :oh, :ow], scores_h[i],
                 cfg.infer.score_threshold,
             )

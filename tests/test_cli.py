@@ -144,3 +144,38 @@ def test_cli_import_shape_mismatch_fails(tmp_path):
         main(["import", *TINY,
               "--torch", f"{tmp_path}/ref.pth",
               "--out", f"{tmp_path}/imported"])
+
+
+def test_cli_predict_writes_pngs(trained_ckpt, tmp_path, capsys):
+    """basi predict: raw image files in (no labels), one labeled-instance
+    PNG per input stem out, batch tail padded to the static batch shape
+    (3 images through batch_size=4)."""
+    import numpy as np
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i, (h, w) in enumerate([(48, 64), (64, 64), (80, 56)]):
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"photo{i}.png")
+
+    out_dir = tmp_path / "preds"
+    rc = main(["predict", *TINY,
+               "--set", "infer.score_threshold=0.0",
+               "--images", str(img_dir), "--out", str(out_dir),
+               "--checkpoint", f"{trained_ckpt}/ckpt"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["images"] == 3
+    assert len(summary["results"]) == 3
+    for i, (h, w) in enumerate([(48, 64), (64, 64), (80, 56)]):
+        p = out_dir / f"photo{i}.png"
+        assert p.exists(), p
+        from PIL import Image as I
+        assert I.open(p).size == (w, h)  # pasted back to ORIGINAL size
+
+
+def test_cli_predict_missing_path():
+    with pytest.raises(FileNotFoundError):
+        main(["predict", *TINY, "--images", "/definitely/not/here"])
