@@ -79,6 +79,12 @@ class TrainConfig:
     # The reference trains unclipped (pretrained backbone tolerates it);
     # from random init the cell-grid BCE can spike, so clip by default.
     grad_clip_norm: float = 10.0  # 0 disables
+    # Frozen-BatchNorm fine-tuning (torch-classic recipe when starting from
+    # a pretrained backbone at detection batch sizes): BN normalizes with
+    # running statistics during training and running stats never update;
+    # BN scale/bias stay trainable. Also removes BN's batch reduces (and
+    # their backward) from the train step.
+    freeze_bn: bool = False
     seed: int = 0
     checkpoint_dir: str = "./ckpt"
     checkpoint_every_steps: int = 0  # 0 -> per epoch

@@ -44,6 +44,12 @@ class BASINet(nn.Module):
     grid_size: int = 16
     remat: bool = False
     bn_axis: str | None = None  # sync-BN axis under shard_map DP
+    # Frozen-BatchNorm fine-tuning (torch-classic detection recipe: BN
+    # modules in eval mode while their affine params stay trainable): the
+    # trunk normalizes with RUNNING statistics even when train=True and
+    # emits no batch_stats updates. Also drops BN's batch-reduce work (and
+    # its backward) from the train step. Set via train.freeze_bn.
+    bn_frozen: bool = False
     stem_mode: str = "conv7"  # conv7 | s2d (bit-exact MXU-friendly stem)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -72,7 +78,8 @@ class BASINet(nn.Module):
             # for dropping all trunk activations from HBM (SURVEY: HBM is
             # the scaling bottleneck at 512^2 batch 16).
             trunk_cls = nn.remat(trunk_cls, static_argnums=(2,))
-        feats = trunk_cls(**trunk_kwargs)(image, train)
+        # BN lives only in the trunk; its train flag controls nothing else.
+        feats = trunk_cls(**trunk_kwargs)(image, train and not self.bn_frozen)
 
         pyramid = FPNDecoder(self.fpn_channels, name="fpn", **kw)(feats)
 

@@ -51,26 +51,37 @@ def make_train_step(
     std = tuple(cfg_data.std)
 
     axis_name = data_axis if mesh is not None else None
-    if mesh is not None:
+    frozen_bn = bool(getattr(cfg_train, "freeze_bn", False))
+    if frozen_bn:
+        model = model.clone(bn_frozen=True)
+    if mesh is not None and not frozen_bn:
         # Cross-replica (sync) BatchNorm: with local-shard BN stats the
         # sharded step would diverge from the single-device step; syncing
-        # makes DP exactly replica-count-invariant.
+        # makes DP exactly replica-count-invariant. (Frozen BN reads
+        # replicated running stats — nothing to sync.)
         model = model.clone(bn_axis=data_axis)
 
     max_pos = getattr(cfg_train, "max_pos_cells", 64)
 
     def loss_fn(params, batch_stats, images, gt_masks, gt_valid,
                 gt_stats=None):
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
+        apply_kw = dict(
             train=True,
-            mutable=["batch_stats"],
             # Never materialize the (S*S, h, w) candidate tensor in
             # training: the loss applies only the positive cells' kernels
             # (basi_loss sparse path; max_pos_cells=0 restores dense).
             with_candidates=(max_pos <= 0),
         )
+        if frozen_bn:
+            # No collection mutates: running stats pass through the carry.
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                **apply_kw)
+            mutated = {"batch_stats": batch_stats}
+        else:
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                mutable=["batch_stats"], **apply_kw)
         loss, metrics = basi_loss(
             out, gt_masks, gt_valid,
             loss_kind=cfg_train.loss,
@@ -217,8 +228,10 @@ def make_train_step(
             # loss), so each shard's gradient is its local CONTRIBUTION to
             # the global gradient: psum (not pmean) completes it exactly.
             grads = jax.lax.psum(grads, data_axis)
-            # Sync-BN semantics for running stats.
-            new_stats = jax.lax.pmean(new_stats, data_axis)
+            if not frozen_bn:
+                # Sync-BN semantics for running stats (frozen BN never
+                # changes them — already replicated).
+                new_stats = jax.lax.pmean(new_stats, data_axis)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)

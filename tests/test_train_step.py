@@ -259,3 +259,75 @@ def test_grad_accum_rejects_indivisible_batch(setup):
         np.random.RandomState(4)).items()}  # n=8, 3 does not divide it
     with pytest.raises(ValueError, match="grad_accum"):
         step(state, batch)
+
+
+def test_freeze_bn_stats_fixed_affine_trains(setup):
+    """train.freeze_bn: running BN statistics are bitwise untouched by a
+    step, BN scale/bias still receive gradients (torch-classic frozen-BN
+    fine-tuning), and the frozen forward normalizes with RUNNING stats —
+    i.e. the loss equals the unfrozen step's loss only if the running
+    stats happen to equal the batch stats (they don't here)."""
+    import dataclasses
+
+    cfg, model, tx, state = setup
+    # Non-trivial running stats so frozen (running) vs unfrozen (batch)
+    # normalization actually differ. Keep the perturbation gentle: a large
+    # negative shift of the normalized activations kills this tiny random
+    # net's top-stage ReLUs outright (zero grads -> biases can't move).
+    state = dataclasses.replace(
+        state,
+        batch_stats=jax.tree.map(lambda x: 1.1 * x + 0.01,
+                                 state.batch_stats))
+    train_cfg = dataclasses.replace(cfg.train, freeze_bn=True)
+    data_cfg = dataclasses.replace(cfg.data, hflip_prob=0.0)
+    step_frozen = make_train_step(model, tx, train_cfg, data_cfg, mesh=None,
+                                  donate=False)
+    step_plain = make_train_step(model, tx, cfg.train, data_cfg, mesh=None,
+                                 donate=False)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(
+        np.random.RandomState(3)).items()}
+
+    new_state, metrics = step_frozen(state, batch)
+    # 1. running stats bitwise unchanged
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(new_state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # 2. BN affine params still train
+    flat0 = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    bn_moved = [
+        not np.array_equal(np.asarray(v0), np.asarray(v1))
+        for (p0, v0), (p1, v1) in zip(flat0, flat1)
+        if any(getattr(k, "key", None) == "bn" for k in p0)
+    ]
+    assert bn_moved and all(bn_moved), "BN affine params did not update"
+    # 3. frozen normalization uses running stats -> different loss than
+    #    the unfrozen (batch-stats) step on identical data
+    _, metrics_plain = step_plain(state, batch)
+    assert not np.isclose(float(metrics["loss"]),
+                          float(metrics_plain["loss"]))
+
+
+def test_freeze_bn_shard_map_matches_single_device(setup):
+    """Frozen BN under DP: no stats sync needed; the sharded step still
+    bit-matches the single-device step on the same global batch."""
+    import dataclasses
+
+    cfg, model, tx, state = setup
+    mesh = make_mesh(8, "data")
+    train_cfg = dataclasses.replace(cfg.train, freeze_bn=True)
+    data_cfg = dataclasses.replace(cfg.data, hflip_prob=0.0,
+                                   multiscale=False)
+    single = make_train_step(model, tx, train_cfg, data_cfg, mesh=None,
+                             donate=False)
+    sharded = make_train_step(model, tx, train_cfg, data_cfg, mesh=mesh,
+                              donate=False)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(
+        np.random.RandomState(4)).items()}
+    s1, m1 = single(state, batch)
+    s2, m2 = sharded(state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
