@@ -114,7 +114,12 @@ def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3,
     from basi_tpu.train.state import create_train_state, make_optimizer
     from basi_tpu.train.step import make_train_step
 
-    cfg = get_config("train_ilso_1ep", list(extra_overrides or []))
+    # The function default is a BASE override so --set can change it; read
+    # the final values back from cfg (a half-applied --set would silently
+    # measure a different configuration than requested).
+    cfg = get_config("train_ilso_1ep", [f"data.batch_size={batch_size}",
+                                        *(extra_overrides or [])])
+    batch_size = cfg.data.batch_size
     model = create_model(cfg.model)
     tx, _ = make_optimizer(cfg.train, max_steps=1000)
     state = create_train_state(model, cfg.model, cfg.train, max_steps=1000)
@@ -163,7 +168,7 @@ def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3,
     dt = time.perf_counter() - t0  # total for ``iters`` steps
     ms = dt / iters * 1000
     return {
-        "metric": (f"train step ms (batch {batch_size}, 512x512, "
+        "metric": (f"train step ms (batch {batch_size}, {size}x{size}, "
                    f"{cfg.model.dtype})"),
         "value": round(ms, 2),
         "unit": "ms/step",
@@ -203,6 +208,10 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
         # decode cost is content-dependent and white noise is pathological.
         cfg = get_config("val_v4-8_ap", [f"infer.batch_size={batch_size}"]
                          + list(extra_overrides or []))
+        # Read the final value back: the default above is only a BASE for
+        # --set overrides; DeviceFeed below must ship the size the
+        # Inferencer was built with.
+        batch_size = cfg.infer.batch_size
         side = cfg.model.image_size
         gy = np.linspace(0, 120, side, dtype=np.float32)[:, None]
         gx = np.linspace(0, 100, side, dtype=np.float32)[None, :]

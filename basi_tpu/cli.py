@@ -236,7 +236,10 @@ def main(argv=None) -> int:
     _add_common(p_pred)
     p_pred.add_argument("--images", nargs="+", required=True,
                         help="image files and/or directories")
-    p_pred.add_argument("--checkpoint", default="", help="orbax params dir")
+    # Required: predicting from randomly-initialized weights writes
+    # plausible-looking garbage PNGs with exit code 0 — fail fast instead.
+    p_pred.add_argument("--checkpoint", required=True,
+                        help="orbax params dir")
     p_pred.add_argument("--out", default="", help="PNG output dir")
     p_pred.set_defaults(fn=cmd_predict)
 

@@ -132,9 +132,15 @@ class CocoDataset:
         with open(ann) as f:
             doc = json.load(f)
 
-        img_dir = os.path.join(root, split)
-        if not os.path.isdir(img_dir):
-            img_dir = os.path.join(root, "images")
+        # Image directory: root/<split>, else the COCO-year convention
+        # derived from the annotation file name (instances_val2017.json ->
+        # root/val2017), else root/images, else root itself.
+        ann_suffix = os.path.splitext(os.path.basename(ann))[0]
+        ann_suffix = ann_suffix.removeprefix("instances_")
+        for cand in (split, ann_suffix, "images", ""):
+            img_dir = os.path.join(root, cand) if cand else root
+            if os.path.isdir(img_dir):
+                break
         self.img_dir = img_dir
 
         by_image: dict[int, list[dict]] = {}
@@ -152,6 +158,14 @@ class CocoDataset:
              and os.path.isfile(os.path.join(img_dir, im["file_name"]))),
             key=lambda im: im["file_name"])
         self.anns = by_image
+        if by_image and not self.images:
+            # Every annotated image missing on disk = a wrong image dir,
+            # not an empty dataset; failing here beats the misleading
+            # "shrink data.batch_size" error a 0-length dataset causes.
+            raise FileNotFoundError(
+                f"annotations reference {len(by_image)} images but none "
+                f"were found under {img_dir!r} (root={root!r}, "
+                f"split={split!r})")
 
         from basi_tpu.data.native import get_decoder
 
@@ -161,10 +175,16 @@ class CocoDataset:
     def _find_annotations(root: str, split: str) -> str:
         ann_dir = os.path.join(root, "annotations")
         if os.path.isdir(ann_dir):
-            cands = sorted(
-                f for f in os.listdir(ann_dir)
-                if f.startswith("instances_") and split in f
-                and f.endswith(".json"))
+            def matches(f: str) -> bool:
+                # Anchored: instances_<split>[year].json. A bare substring
+                # test would let split='val' pick instances_minival.json
+                # or split='train' pick instances_trainval.json.
+                if not (f.startswith("instances_") and f.endswith(".json")):
+                    return False
+                stem = f[len("instances_"):-len(".json")]
+                rest = stem[len(split):]
+                return stem.startswith(split) and (not rest or rest.isdigit())
+            cands = sorted(f for f in os.listdir(ann_dir) if matches(f))
             if cands:
                 return os.path.join(ann_dir, cands[0])
         raise FileNotFoundError(
@@ -180,11 +200,15 @@ class CocoDataset:
         # Largest-first: the salient-instance reading of a COCO scene; the
         # cap keeps the most prominent objects.
         anns = sorted(anns, key=lambda a: -float(a.get("area", 0.0)))
-        anns = anns[: self.max_instances]
         masks = np.zeros((self.max_instances, oh, ow), np.uint8)
         valid = np.zeros((self.max_instances,), np.uint8)
         count = 0
+        # Truncate AFTER dropping empty rasterizations: a degenerate
+        # annotation (e.g. <3-point polygon) must not evict a real
+        # instance below the max_instances cap.
         for a in anns:
+            if count == self.max_instances:
+                break
             m = segmentation_to_mask(a["segmentation"], oh, ow)
             if not m.any():
                 continue

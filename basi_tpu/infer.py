@@ -339,7 +339,7 @@ class Inferencer:
 
     def full_res_masks(self, slot_mask_probs: jnp.ndarray):
         """Upsample slot masks to the model input resolution (fused kernel)."""
-        return jax.jit(self._to_full_res)(slot_mask_probs)
+        return self._full_fn(slot_mask_probs)
 
     def predict_batch(self, images_u8: np.ndarray):
         masks, scores, out = self._run(self.params, self.batch_stats, images_u8)
@@ -366,6 +366,17 @@ class Inferencer:
         decoder = get_decoder("auto" if backend == "synthetic" else backend)
         pack = wants_s2d_feed(self.model)
         thr = cfg.infer.score_threshold
+        # Output names: file stem, deduplicated — inputs from different
+        # directories (or .jpg/.png siblings) can share a basename, and a
+        # bare-stem collision would silently overwrite the earlier PNG.
+        all_names, used = [], set()
+        for p in paths:
+            base = os.path.splitext(os.path.basename(str(p)))[0]
+            name, k = base, 1
+            while name in used:
+                name, k = f"{base}_{k}", k + 1
+            used.add(name)
+            all_names.append(name)
         results: list[dict] = []
         for start in range(0, len(paths), bs):
             chunk = [str(p) for p in paths[start:start + bs]]
@@ -391,7 +402,7 @@ class Inferencer:
             scores_h = np.asarray(jax.device_get(scores))
             batch = {"orig_hw": orig_hw, "valid_hw": valid_hw,
                      "num_real": np.int32(n_real)}
-            names = [os.path.splitext(os.path.basename(p))[0] for p in chunk]
+            names = all_names[start:start + bs]
             self._save_batch_pngs(start // bs, batch, full, scores_h,
                                   out_dir=out_dir, names=names)
             for i in range(n_real):

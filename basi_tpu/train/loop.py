@@ -162,6 +162,18 @@ class Trainer:
         host_step = start_step
         last_saved_step = start_step if start_step else -1
         steps_since_mark = 0
+        try:
+            return self._train_loop(
+                cfg, start_epoch, host_step, last_saved_step,
+                steps_since_mark, last_metrics)
+        finally:
+            # Flush observability sinks: torch's SummaryWriter flushes on
+            # a ~2-min daemon cadence with no atexit hook — without close()
+            # the final steps' scalars can never reach the event file.
+            self.logger.close()
+
+    def _train_loop(self, cfg, start_epoch, host_step, last_saved_step,
+                    steps_since_mark, last_metrics) -> dict:
         with maybe_trace(cfg.profile, cfg.profile_dir):
             for epoch in range(start_epoch, cfg.train.epochs):
                 # Mid-epoch resume: batch order is (seed, epoch)-pure, so

@@ -50,20 +50,31 @@ class MetricLogger:
             self._n += 1
             step = rec.get("step", self._n)
             tag = prefix.strip("[] ") or "metrics"
-            for k, v in rec.items():
-                if k in ("t", "step") or isinstance(v, bool):
-                    continue
-                if isinstance(v, (int, float)):
-                    self._tb.add_scalar(f"{tag}/{k}", v, int(step))
+            try:
+                for k, v in rec.items():
+                    if k in ("t", "step") or isinstance(v, bool):
+                        continue
+                    if isinstance(v, (int, float)):
+                        self._tb.add_scalar(f"{tag}/{k}", v, int(step))
+            except Exception as e:  # pragma: no cover - env-dependent
+                # TB is best-effort observability: a full/unwritable volume
+                # mid-run must not abort training. Warn once, disable.
+                import warnings
+
+                warnings.warn(f"tensorboard writer failed, disabling: {e}")
+                self._tb = None
         if self.console:
             parts = [f"{k}={v}" for k, v in rec.items() if k != "t"]
             print((prefix + " " if prefix else "") + " ".join(parts), flush=True)
 
     def close(self):
+        """Idempotent; a log() after close degrades to console-only."""
         if self._fh:
             self._fh.close()
+            self._fh = None
         if self._tb is not None:
             self._tb.close()
+            self._tb = None
 
 
 def save_mask_pngs(out_dir: str, name: str, masks, scores,

@@ -178,4 +178,36 @@ def test_cli_predict_writes_pngs(trained_ckpt, tmp_path, capsys):
 
 def test_cli_predict_missing_path():
     with pytest.raises(FileNotFoundError):
-        main(["predict", *TINY, "--images", "/definitely/not/here"])
+        main(["predict", *TINY, "--images", "/definitely/not/here",
+              "--checkpoint", "/unused"])
+
+
+def test_cli_predict_requires_checkpoint(tmp_path):
+    """No --checkpoint -> argparse error (random weights would silently
+    write garbage PNGs with exit code 0)."""
+    with pytest.raises(SystemExit):
+        main(["predict", *TINY, "--images", str(tmp_path)])
+
+
+def test_cli_predict_dedupes_colliding_stems(trained_ckpt, tmp_path, capsys):
+    """Inputs from different directories sharing a basename must not
+    overwrite each other's output PNG."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    Image.fromarray((rng.rand(40, 48, 3) * 255).astype(np.uint8)).save(
+        d1 / "photo.png")
+    Image.fromarray((rng.rand(56, 40, 3) * 255).astype(np.uint8)).save(
+        d2 / "photo.png")
+    out_dir = tmp_path / "preds"
+    rc = main(["predict", *TINY,
+               "--set", "infer.score_threshold=0.0",
+               "--images", str(d1), str(d2), "--out", str(out_dir),
+               "--checkpoint", f"{trained_ckpt}/ckpt"])
+    assert rc == 0
+    from PIL import Image as I
+    assert I.open(out_dir / "photo.png").size == (48, 40)
+    assert I.open(out_dir / "photo_1.png").size == (40, 56)

@@ -186,3 +186,88 @@ def test_coco_missing_annotations_raises(tmp_path):
     os.makedirs(os.path.join(root, "annotations"))
     with pytest.raises(FileNotFoundError, match="ann"):
         CocoDataset(root, split="val")
+
+
+def test_coco_year_convention_layout(tmp_path):
+    """Standard COCO-2017 layout: annotations/instances_val2017.json +
+    val2017/ image dir — the image dir must be derived from the annotation
+    file name, and a decoy instances_minival.json must NOT be picked for
+    split='val' (anchored matching, not substring)."""
+    from PIL import Image
+
+    root = str(tmp_path / "coco17")
+    img_dir = os.path.join(root, "val2017")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+        os.path.join(img_dir, "im1.jpg"), quality=95)
+    doc = {"images": [{"id": 1, "file_name": "im1.jpg",
+                       "height": 32, "width": 32}],
+           "annotations": [{"id": 1, "image_id": 1, "iscrowd": 0,
+                            "area": 64.0,
+                            "segmentation": [[4, 4, 20, 4, 20, 12, 4, 12]]}]}
+    with open(os.path.join(ann_dir, "instances_val2017.json"), "w") as f:
+        json.dump(doc, f)
+    # decoy: sorts BEFORE instances_val2017.json; substring-matches 'val'
+    with open(os.path.join(ann_dir, "instances_minival.json"), "w") as f:
+        json.dump({"images": [], "annotations": []}, f)
+
+    ds = CocoDataset(root, image_size=32, max_instances=2, split="val")
+    assert len(ds) == 1
+    s = ds.get(0)
+    assert s.valid.sum() == 1 and s.masks[0].sum() > 0
+
+
+def test_coco_wrong_image_dir_raises(tmp_path):
+    """Annotations that reference images none of which exist on disk must
+    fail loudly, not construct a 0-length dataset."""
+    root = str(tmp_path / "coco_bad")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(ann_dir)
+    doc = {"images": [{"id": 1, "file_name": "nope.jpg",
+                       "height": 8, "width": 8}],
+           "annotations": [{"id": 1, "image_id": 1, "iscrowd": 0,
+                            "area": 4.0,
+                            "segmentation": [[1, 1, 5, 1, 5, 5, 1, 5]]}]}
+    with open(os.path.join(ann_dir, "instances_val.json"), "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(FileNotFoundError, match="none"):
+        CocoDataset(root, image_size=32, split="val")
+
+
+def test_coco_degenerate_annotation_does_not_evict_real_instance(tmp_path):
+    """A degenerate (<3-point) polygon with a huge declared area must not
+    occupy a slot under the max_instances cap at the expense of a real
+    instance."""
+    from PIL import Image
+
+    root = str(tmp_path / "coco_degen")
+    img_dir = os.path.join(root, "val")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    rng = np.random.RandomState(1)
+    Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+        os.path.join(img_dir, "im1.jpg"), quality=95)
+    anns = [
+        # degenerate: 2-point polygon, declared area sorts it FIRST
+        {"id": 1, "image_id": 1, "iscrowd": 0, "area": 1e9,
+         "segmentation": [[1, 1, 2, 2]]},
+        # two real instances
+        {"id": 2, "image_id": 1, "iscrowd": 0, "area": 100.0,
+         "segmentation": [[2, 2, 14, 2, 14, 14, 2, 14]]},
+        {"id": 3, "image_id": 1, "iscrowd": 0, "area": 50.0,
+         "segmentation": [[18, 18, 28, 18, 28, 28, 18, 28]]},
+    ]
+    doc = {"images": [{"id": 1, "file_name": "im1.jpg",
+                       "height": 32, "width": 32}],
+           "annotations": anns}
+    with open(os.path.join(ann_dir, "instances_val.json"), "w") as f:
+        json.dump(doc, f)
+
+    ds = CocoDataset(root, image_size=32, max_instances=2, split="val")
+    masks, valid = ds._orig_masks(ds.images[0])
+    assert valid.sum() == 2, "real instance was evicted by a degenerate ann"
+    assert masks[0].sum() > 0 and masks[1].sum() > 0

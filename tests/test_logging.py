@@ -39,3 +39,36 @@ def test_tensorboard_scalars(tmp_path):
     assert {"train/loss", "train/lr"} <= tags
     ev = acc.Scalars("train/loss")[0]
     assert ev.step == 3 and abs(ev.value - 0.125) < 1e-9
+
+
+def test_tensorboard_failure_disables_not_raises(tmp_path):
+    """A writer that starts failing mid-run (full/unwritable volume) must
+    degrade to a one-time warning, not abort training."""
+    import warnings
+
+    lg = MetricLogger("", console=False,
+                      tensorboard_dir=str(tmp_path / "tb"))
+
+    class Boom:
+        def add_scalar(self, *a, **k):
+            raise OSError("disk full")
+
+        def close(self):
+            pass
+
+    lg._tb = Boom()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lg.log({"step": 1, "loss": 1.0}, prefix="[train]")  # must not raise
+    assert any("tensorboard" in str(x.message) for x in w)
+    assert lg._tb is None  # disabled after first failure
+    lg.log({"step": 2, "loss": 0.5}, prefix="[train]")  # still fine
+    lg.close()
+
+
+def test_metric_logger_close_idempotent(tmp_path):
+    lg = MetricLogger(str(tmp_path / "m.jsonl"), console=False)
+    lg.log({"step": 1, "loss": 1.0})
+    lg.close()
+    lg.close()  # second close is a no-op
+    lg.log({"step": 2, "loss": 0.5})  # post-close logging degrades quietly
