@@ -84,7 +84,8 @@ def cmd_predict(args) -> int:
         raise SystemExit(f"no images found under {args.images}")
     inf = Inferencer(cfg, checkpoint=args.checkpoint)
     out_dir = args.out or cfg.infer.output_dir
-    results = inf.predict_paths(paths, out_dir=out_dir)
+    results = inf.predict_paths(paths, out_dir=out_dir,
+                                results_path=args.results)
     print(json.dumps({"images": len(results), "out": out_dir,
                       "results": results}))
     return 0
@@ -241,6 +242,10 @@ def main(argv=None) -> int:
     p_pred.add_argument("--checkpoint", required=True,
                         help="orbax params dir")
     p_pred.add_argument("--out", default="", help="PNG output dir")
+    p_pred.add_argument("--results", default="",
+                        help="also write a COCO-format results JSON "
+                             "(compressed-RLE segmentations at original "
+                             "resolution, pycocotools-loadable)")
     p_pred.set_defaults(fn=cmd_predict)
 
     p_exp = sub.add_parser("export", help="trainer ckpt -> serving params")

@@ -75,6 +75,50 @@ def rle_to_mask(counts: list[int], h: int, w: int) -> np.ndarray:
     return flat.reshape(w, h).T  # column-major per the COCO spec
 
 
+def mask_to_counts(mask: np.ndarray) -> list[int]:
+    """(h, w) binary mask -> run counts (column-major, starts with the
+    0-run — the exact inverse of :func:`rle_to_mask`). Vectorized: run
+    boundaries come from one diff over the flattened columns."""
+    flat = (np.asarray(mask) > 0).astype(np.uint8).T.reshape(-1)
+    if flat.size == 0:
+        return [0]
+    edges = np.flatnonzero(np.diff(flat)) + 1
+    bounds = np.concatenate(([0], edges, [flat.size]))
+    counts = np.diff(bounds).tolist()
+    if flat[0] == 1:  # counts must start with a (possibly empty) 0-run
+        counts.insert(0, 0)
+    return counts
+
+
+def rle_compress(counts: list[int]) -> str:
+    """Run counts -> COCO compressed RLE string (delta + 5-bit LEB, the
+    inverse of :func:`rle_decompress`)."""
+    s = bytearray()
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            s.append(c + 48)
+    return s.decode("ascii")
+
+
+def mask_to_rle(mask: np.ndarray) -> dict:
+    """(h, w) binary mask -> COCO segmentation dict
+    ``{"size": [h, w], "counts": <compressed str>}`` — the format
+    pycocotools' ``COCO.loadRes`` / ``maskUtils.decode`` accept, so
+    predictions exported with this round-trip through the official COCO
+    tooling."""
+    h, w = np.asarray(mask).shape
+    return {"size": [int(h), int(w)],
+            "counts": rle_compress(mask_to_counts(mask))}
+
+
 def polygons_to_mask(polys: list[list[float]], h: int, w: int) -> np.ndarray:
     """Union of filled polygons -> (h, w) u8 (PIL even-odd fill per ring)."""
     from PIL import Image, ImageDraw

@@ -345,13 +345,20 @@ class Inferencer:
         masks, scores, out = self._run(self.params, self.batch_stats, images_u8)
         return masks, scores, out
 
-    def predict_paths(self, paths, out_dir: str = "") -> list[dict]:
+    def predict_paths(self, paths, out_dir: str = "",
+                      results_path: str = "") -> list[dict]:
         """GT-free prediction over raw image FILES (SURVEY §2.1: the
         reference's MyTest usage — images in, mask PNGs out, no labels
         needed). decode+letterbox -> jitted forward+NMS -> fused upsample
         -> paste to original resolution -> one labeled-instance PNG per
         input stem under ``out_dir``. Returns one
-        ``{"path", "instances", "scores"}`` summary per input."""
+        ``{"path", "instances", "scores"}`` summary per input.
+
+        ``results_path``: also write a COCO-format results JSON (one entry
+        per kept instance: score + compressed-RLE segmentation at ORIGINAL
+        resolution; ``image_id`` is parsed from all-digit file stems per
+        the COCO naming convention, else the stem) — loadable by
+        pycocotools ``COCO.loadRes`` for official offline evaluation."""
         import os
 
         from basi_tpu.data.datasets import letterbox_params
@@ -378,6 +385,7 @@ class Inferencer:
             used.add(name)
             all_names.append(name)
         results: list[dict] = []
+        coco_results: list[dict] = []
         for start in range(0, len(paths), bs):
             chunk = [str(p) for p in paths[start:start + bs]]
             n_real = len(chunk)
@@ -403,27 +411,53 @@ class Inferencer:
             batch = {"orig_hw": orig_hw, "valid_hw": valid_hw,
                      "num_real": np.int32(n_real)}
             names = all_names[start:start + bs]
+            pasted = self._paste_batch(batch, full)
             self._save_batch_pngs(start // bs, batch, full, scores_h,
-                                  out_dir=out_dir, names=names)
+                                  out_dir=out_dir, names=names,
+                                  pasted=pasted)
             for i in range(n_real):
                 kept = [float(s) for s in scores_h[i] if s >= thr and s > 0]
                 results.append({"path": chunk[i], "instances": len(kept),
                                 "scores": kept})
+            if results_path:
+                from basi_tpu.data.coco import mask_to_rle
+
+                arr_p, ch, cw = pasted
+                for i in range(n_real):
+                    oh = min(int(orig_hw[i][0]), ch)
+                    ow = min(int(orig_hw[i][1]), cw)
+                    stem = names[i]
+                    image_id = int(stem) if stem.isdigit() else stem
+                    for j, s in enumerate(scores_h[i]):
+                        if s < thr or s <= 0:
+                            continue
+                        m = arr_p[i, j, :oh, :ow] > 0.5
+                        if not m.any():
+                            continue
+                        coco_results.append({
+                            "image_id": image_id,
+                            "category_id": 1,  # single salient class
+                            "score": float(s),
+                            "segmentation": mask_to_rle(m),
+                        })
+        if results_path:
+            import json
+
+            with open(results_path, "w") as f:
+                json.dump(coco_results, f)
         return results
 
-    def _save_batch_pngs(self, bi: int, batch: dict, full, scores_h,
-                         out_dir: str = "", names: list[str] | None = None):
-        """Paste masks to ORIGINAL resolution and dump PNGs (reference
-        behavior). The paste canvas is a static 512-multiple bucket sized
-        to the batch's largest original image (one XLA program per bucket),
-        so originals larger than the model size are no longer silently
-        truncated."""
+    def _paste_batch(self, batch: dict, full) -> tuple[np.ndarray, int, int]:
+        """Paste full-res slot masks to ORIGINAL resolution on device. The
+        paste canvas is a static 512-multiple bucket sized to the batch's
+        largest original image (one XLA program per bucket), so originals
+        larger than the model size are not silently truncated. Returns the
+        host (N, K, ch, cw) array plus the canvas dims."""
         import warnings
 
         from basi_tpu.ops.paste import paste_masks_batch
 
-        cfg = self.cfg
-        size = cfg.model.image_size
+        size = self.cfg.model.image_size
         max_canvas = 2048
         mh = int(np.max(batch["orig_hw"][:, 0]))
         mw = int(np.max(batch["orig_hw"][:, 1]))
@@ -437,6 +471,19 @@ class Inferencer:
             full, jnp.asarray(batch["valid_hw"]),
             (ch, cw), jnp.asarray(batch["orig_hw"]),
         ))
+        return np.asarray(pasted), ch, cw
+
+    def _save_batch_pngs(self, bi: int, batch: dict, full, scores_h,
+                         out_dir: str = "", names: list[str] | None = None,
+                         pasted=None):
+        """Dump per-image labeled-instance PNGs at original resolution
+        (reference behavior). ``pasted`` reuses an existing _paste_batch
+        result instead of pasting again."""
+        cfg = self.cfg
+        if pasted is None:
+            pasted, ch, cw = self._paste_batch(batch, full)
+        else:
+            pasted, ch, cw = pasted
         for i in range(int(batch["num_real"])):
             oh = min(int(batch["orig_hw"][i][0]), ch)
             ow = min(int(batch["orig_hw"][i][1]), cw)

@@ -211,3 +211,40 @@ def test_cli_predict_dedupes_colliding_stems(trained_ckpt, tmp_path, capsys):
     from PIL import Image as I
     assert I.open(out_dir / "photo.png").size == (48, 40)
     assert I.open(out_dir / "photo_1.png").size == (40, 56)
+
+
+def test_cli_predict_coco_results_json(trained_ckpt, tmp_path, capsys):
+    """--results writes a COCO-format results JSON whose RLE segmentations
+    decode to original-resolution masks (pycocotools-compatible layout:
+    image_id from all-digit stems)."""
+    import numpy as np
+    from PIL import Image
+
+    from basi_tpu.data.coco import rle_decompress, rle_to_mask
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(2)
+    # COCO-style all-digit name + a non-digit name
+    Image.fromarray((rng.rand(40, 48, 3) * 255).astype(np.uint8)).save(
+        img_dir / "000000000042.png")
+    Image.fromarray((rng.rand(56, 40, 3) * 255).astype(np.uint8)).save(
+        img_dir / "photo.png")
+    res_path = tmp_path / "results.json"
+    rc = main(["predict", *TINY,
+               "--set", "infer.score_threshold=0.0",
+               "--images", str(img_dir), "--out", str(tmp_path / "preds"),
+               "--results", str(res_path),
+               "--checkpoint", f"{trained_ckpt}/ckpt"])
+    assert rc == 0
+    entries = json.loads(res_path.read_text())
+    assert entries, "no results written"
+    ids = {e["image_id"] for e in entries}
+    assert 42 in ids and "photo" in ids
+    by_id = {42: (40, 48), "photo": (56, 40)}
+    for e in entries:
+        assert 0.0 <= e["score"] <= 1.0 and e["category_id"] == 1
+        h, w = e["segmentation"]["size"]
+        assert (h, w) == by_id[e["image_id"]]
+        m = rle_to_mask(rle_decompress(e["segmentation"]["counts"]), h, w)
+        assert m.any()

@@ -271,3 +271,44 @@ def test_coco_degenerate_annotation_does_not_evict_real_instance(tmp_path):
     masks, valid = ds._orig_masks(ds.images[0])
     assert valid.sum() == 2, "real instance was evicted by a degenerate ann"
     assert masks[0].sum() > 0 and masks[1].sum() > 0
+
+
+def test_mask_to_counts_roundtrip_random():
+    """Product encoder vs the naive test twin + decode round-trip."""
+    from basi_tpu.data.coco import mask_to_counts, rle_to_mask
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        h, w = rng.randint(1, 40, size=2)
+        m = (rng.rand(h, w) > rng.rand()).astype(np.uint8)
+        counts = mask_to_counts(m)
+        assert counts == _mask_to_counts(m)  # matches the naive twin
+        np.testing.assert_array_equal(rle_to_mask(counts, h, w), m)
+
+
+def test_rle_compress_roundtrip_random():
+    from basi_tpu.data.coco import (mask_to_counts, mask_to_rle,
+                                    rle_compress, rle_decompress,
+                                    rle_to_mask)
+
+    rng = np.random.RandomState(8)
+    for _ in range(20):
+        h, w = rng.randint(1, 64, size=2)
+        m = (rng.rand(h, w) > 0.5).astype(np.uint8)
+        counts = mask_to_counts(m)
+        s = rle_compress(counts)
+        assert s == _compress(counts)  # matches the test-side twin
+        assert rle_decompress(s) == counts
+        seg = mask_to_rle(m)
+        assert seg["size"] == [h, w]
+        np.testing.assert_array_equal(
+            rle_to_mask(rle_decompress(seg["counts"]), h, w), m)
+
+
+def test_mask_to_counts_edge_cases():
+    from basi_tpu.data.coco import mask_to_counts, rle_to_mask
+
+    for m in (np.zeros((3, 4), np.uint8), np.ones((3, 4), np.uint8),
+              np.eye(5, dtype=np.uint8)):
+        c = mask_to_counts(m)
+        np.testing.assert_array_equal(rle_to_mask(c, *m.shape), m)
