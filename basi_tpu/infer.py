@@ -386,6 +386,14 @@ class Inferencer:
             all_names.append(name)
         results: list[dict] = []
         coco_results: list[dict] = []
+        seen_ids: dict = {}
+        if results_path:
+            # Fail fast on an unwritable results path BEFORE hours of
+            # inference, not after (the JSON is written once at the end).
+            parent = os.path.dirname(os.path.abspath(results_path))
+            os.makedirs(parent, exist_ok=True)
+            with open(results_path, "w") as f:
+                f.write("[]")
         for start in range(0, len(paths), bs):
             chunk = [str(p) for p in paths[start:start + bs]]
             n_real = len(chunk)
@@ -415,31 +423,54 @@ class Inferencer:
             self._save_batch_pngs(start // bs, batch, full, scores_h,
                                   out_dir=out_dir, names=names,
                                   pasted=pasted)
+            arr_p, ch, cw = pasted
             for i in range(n_real):
-                kept = [float(s) for s in scores_h[i] if s >= thr and s > 0]
+                oh, ow = int(orig_hw[i][0]), int(orig_hw[i][1])
+                # ONE keep predicate shared by the summary and the COCO
+                # export: score passes AND the pasted mask is non-empty
+                # (a slot whose mask shrinks to nothing under the paste
+                # is not an instance in either output).
+                kept = [
+                    (j, float(s)) for j, s in enumerate(scores_h[i])
+                    if s >= thr and s > 0
+                    and (arr_p[i, j, :min(oh, ch), :min(ow, cw)]
+                         > 0.5).any()
+                ]
                 results.append({"path": chunk[i], "instances": len(kept),
-                                "scores": kept})
-            if results_path:
+                                "scores": [s for _, s in kept]})
+                if not results_path:
+                    continue
                 from basi_tpu.data.coco import mask_to_rle
 
-                arr_p, ch, cw = pasted
-                for i in range(n_real):
-                    oh = min(int(orig_hw[i][0]), ch)
-                    ow = min(int(orig_hw[i][1]), cw)
-                    stem = names[i]
-                    image_id = int(stem) if stem.isdigit() else stem
-                    for j, s in enumerate(scores_h[i]):
-                        if s < thr or s <= 0:
-                            continue
-                        m = arr_p[i, j, :oh, :ow] > 0.5
-                        if not m.any():
-                            continue
-                        coco_results.append({
-                            "image_id": image_id,
-                            "category_id": 1,  # single salient class
-                            "score": float(s),
-                            "segmentation": mask_to_rle(m),
-                        })
+                # image_id from the ORIGINAL stem per the COCO all-digit
+                # naming convention (isdecimal matches int()'s domain;
+                # isdigit accepts e.g. superscripts that int() rejects).
+                stem = os.path.splitext(os.path.basename(chunk[i]))[0]
+                image_id = int(stem) if stem.isdecimal() else stem
+                if image_id in seen_ids and seen_ids[image_id] != chunk[i]:
+                    import warnings
+
+                    warnings.warn(
+                        f"duplicate COCO image_id {image_id!r}: "
+                        f"{chunk[i]!r} and {seen_ids[image_id]!r} — their "
+                        f"results merge under one id")
+                seen_ids.setdefault(image_id, chunk[i])
+                for j, s in kept:
+                    m = arr_p[i, j, :min(oh, ch), :min(ow, cw)] > 0.5
+                    if m.shape != (oh, ow):
+                        # Original exceeds the paste-canvas cap: pad the
+                        # cropped mask back to TRUE original size so
+                        # pycocotools' size-keyed IoU stays valid (content
+                        # beyond the canvas is lost; warned in
+                        # _paste_batch).
+                        m = np.pad(m, ((0, oh - m.shape[0]),
+                                       (0, ow - m.shape[1])))
+                    coco_results.append({
+                        "image_id": image_id,
+                        "category_id": 1,  # single salient class
+                        "score": s,
+                        "segmentation": mask_to_rle(m),
+                    })
         if results_path:
             import json
 
@@ -466,7 +497,8 @@ class Inferencer:
         if mh > max_canvas or mw > max_canvas:
             warnings.warn(
                 f"original image {mh}x{mw} exceeds the {max_canvas} paste "
-                f"canvas cap; saved masks will be cropped")
+                f"canvas cap; saved mask PNGs are cropped and exported RLE "
+                f"masks are zero-padded beyond the canvas")
         pasted = jax.device_get(paste_masks_batch(
             full, jnp.asarray(batch["valid_hw"]),
             (ch, cw), jnp.asarray(batch["orig_hw"]),

