@@ -212,6 +212,11 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
         # --set overrides; DeviceFeed below must ship the size the
         # Inferencer was built with.
         batch_size = cfg.infer.batch_size
+        if n_images // batch_size < 2:
+            raise ValueError(
+                f"e2e bench needs >= 2 batches to time (first is "
+                f"compile): infer.batch_size={batch_size} vs "
+                f"{n_images} images")
         side = cfg.model.image_size
         gy = np.linspace(0, 120, side, dtype=np.float32)[:, None]
         gx = np.linspace(0, 100, side, dtype=np.float32)[None, :]

@@ -176,17 +176,6 @@ class CocoDataset:
         with open(ann) as f:
             doc = json.load(f)
 
-        # Image directory: root/<split>, else the COCO-year convention
-        # derived from the annotation file name (instances_val2017.json ->
-        # root/val2017), else root/images, else root itself.
-        ann_suffix = os.path.splitext(os.path.basename(ann))[0]
-        ann_suffix = ann_suffix.removeprefix("instances_")
-        for cand in (split, ann_suffix, "images", ""):
-            img_dir = os.path.join(root, cand) if cand else root
-            if os.path.isdir(img_dir):
-                break
-        self.img_dir = img_dir
-
         by_image: dict[int, list[dict]] = {}
         for a in doc.get("annotations", []):
             if a.get("iscrowd", 0) and not include_crowd:
@@ -194,6 +183,30 @@ class CocoDataset:
             if not a.get("segmentation"):
                 continue
             by_image.setdefault(a["image_id"], []).append(a)
+
+        # Image directory candidates: root/<split>, the COCO-year
+        # convention derived from the annotation file name
+        # (instances_val2017.json -> root/val2017), root/images, root.
+        # Pick the FIRST candidate that actually contains an annotated
+        # image — mere existence is not enough (an empty root/val dir, or
+        # root/annotations when the ann file has no instances_ prefix,
+        # must not shadow the real image dir).
+        ann_suffix = os.path.splitext(os.path.basename(ann))[0]
+        ann_suffix = ann_suffix.removeprefix("instances_")
+        probe_names = [im["file_name"] for im in doc.get("images", [])
+                       if im["id"] in by_image][:64]
+        cands = []
+        for c in (split, ann_suffix, "images", ""):
+            d = os.path.join(root, c) if c else root
+            if os.path.isdir(d) and d not in cands:
+                cands.append(d)
+        img_dir = next(
+            (d for d in cands
+             if any(os.path.isfile(os.path.join(d, n))
+                    for n in probe_names)),
+            cands[0] if cands else root)
+        self.img_dir = img_dir
+
         # Keep only images that exist on disk AND have instances; sort by
         # file name so the epoch order is stable across hosts.
         self.images = sorted(
@@ -202,14 +215,19 @@ class CocoDataset:
              and os.path.isfile(os.path.join(img_dir, im["file_name"]))),
             key=lambda im: im["file_name"])
         self.anns = by_image
-        if by_image and not self.images:
+        if by_image and not probe_names:
+            raise ValueError(
+                f"annotations reference {len(by_image)} image_ids but none "
+                f"appear in the JSON's 'images' list ({ann!r} is "
+                f"inconsistent)")
+        if by_image and probe_names and not self.images:
             # Every annotated image missing on disk = a wrong image dir,
             # not an empty dataset; failing here beats the misleading
             # "shrink data.batch_size" error a 0-length dataset causes.
             raise FileNotFoundError(
                 f"annotations reference {len(by_image)} images but none "
-                f"were found under {img_dir!r} (root={root!r}, "
-                f"split={split!r})")
+                f"were found under any of {cands or [root]} "
+                f"(root={root!r}, split={split!r})")
 
         from basi_tpu.data.native import get_decoder
 

@@ -168,9 +168,11 @@ class Trainer:
                 steps_since_mark, last_metrics)
         finally:
             # Flush observability sinks: torch's SummaryWriter flushes on
-            # a ~2-min daemon cadence with no atexit hook — without close()
+            # a ~2-min daemon cadence with no atexit hook — without this
             # the final steps' scalars can never reach the event file.
-            self.logger.close()
+            # flush, NOT close: a reused Trainer (in-process resume, a
+            # second train() call) must keep logging.
+            self.logger.flush()
 
     def _train_loop(self, cfg, start_epoch, host_step, last_saved_step,
                     steps_since_mark, last_metrics) -> dict:

@@ -110,8 +110,10 @@ def make_train_step(
     def micro_grads(params, batch_stats, batch: dict[str, jnp.ndarray], rng):
         """Augment one (micro-)batch and return (loss, metrics, new_stats,
         grads) — the unit both the plain step and gradient accumulation
-        share. BN normalizes with CURRENT batch statistics in train mode,
-        so grads do not depend on the running-stats carry."""
+        share. Unfrozen BN normalizes with CURRENT batch statistics in
+        train mode, so grads do not depend on the running-stats carry;
+        under freeze_bn they DO (normalization reads the running stats),
+        so the stats argument must stay threaded in both modes."""
         n = batch["image"].shape[0]
         k_flip, k_aug = jax.random.split(rng)
         flip = jax.random.bernoulli(

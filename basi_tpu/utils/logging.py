@@ -58,14 +58,39 @@ class MetricLogger:
                         self._tb.add_scalar(f"{tag}/{k}", v, int(step))
             except Exception as e:  # pragma: no cover - env-dependent
                 # TB is best-effort observability: a full/unwritable volume
-                # mid-run must not abort training. Warn once, disable.
+                # mid-run must not abort training. Warn once, disable —
+                # but close() first so the writer's background thread/fd
+                # don't leak and earlier buffered scalars get a flush try.
                 import warnings
 
                 warnings.warn(f"tensorboard writer failed, disabling: {e}")
-                self._tb = None
+                tb, self._tb = self._tb, None
+                try:
+                    tb.close()
+                except Exception:
+                    pass
         if self.console:
             parts = [f"{k}={v}" for k, v in rec.items() if k != "t"]
             print((prefix + " " if prefix else "") + " ".join(parts), flush=True)
+
+    def flush(self):
+        """Push buffered records to disk WITHOUT ending the logger (the
+        Trainer flushes after each train() so a reused Trainer keeps
+        logging; JSONL already flushes per write)."""
+        if self._fh:
+            self._fh.flush()
+        if self._tb is not None:
+            try:
+                self._tb.flush()
+            except Exception as e:  # pragma: no cover - env-dependent
+                import warnings
+
+                warnings.warn(f"tensorboard flush failed, disabling: {e}")
+                tb, self._tb = self._tb, None
+                try:
+                    tb.close()
+                except Exception:
+                    pass
 
     def close(self):
         """Idempotent; a log() after close degrades to console-only."""

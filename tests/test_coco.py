@@ -313,3 +313,46 @@ def test_mask_to_counts_edge_cases():
               np.eye(5, dtype=np.uint8)):
         c = mask_to_counts(m)
         np.testing.assert_array_equal(rle_to_mask(c, *m.shape), m)
+
+
+def test_coco_empty_split_dir_does_not_shadow_year_dir(tmp_path):
+    """An empty root/val dir must not shadow root/val2017: the image dir
+    is the first candidate that CONTAINS an annotated image."""
+    from PIL import Image
+
+    root = str(tmp_path / "coco17b")
+    os.makedirs(os.path.join(root, "val"))  # empty decoy
+    img_dir = os.path.join(root, "val2017")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    rng = np.random.RandomState(2)
+    Image.fromarray((rng.rand(24, 24, 3) * 255).astype(np.uint8)).save(
+        os.path.join(img_dir, "im1.jpg"), quality=95)
+    doc = {"images": [{"id": 1, "file_name": "im1.jpg",
+                       "height": 24, "width": 24}],
+           "annotations": [{"id": 1, "image_id": 1, "iscrowd": 0,
+                            "area": 36.0,
+                            "segmentation": [[2, 2, 12, 2, 12, 8, 2, 8]]}]}
+    with open(os.path.join(ann_dir, "instances_val2017.json"), "w") as f:
+        json.dump(doc, f)
+    ds = CocoDataset(root, image_size=32, max_instances=2, split="val")
+    assert len(ds) == 1
+    assert ds.img_dir.endswith("val2017")
+
+
+def test_coco_inconsistent_annotation_ids_raise(tmp_path):
+    """Annotations whose image_ids never appear in doc['images'] are an
+    inconsistent JSON, not a missing image dir."""
+    root = str(tmp_path / "coco_bad2")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(ann_dir)
+    doc = {"images": [{"id": 7, "file_name": "im7.jpg",
+                       "height": 8, "width": 8}],
+           "annotations": [{"id": 1, "image_id": 99, "iscrowd": 0,
+                            "area": 4.0,
+                            "segmentation": [[1, 1, 5, 1, 5, 5, 1, 5]]}]}
+    with open(os.path.join(ann_dir, "instances_val.json"), "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(ValueError, match="inconsistent"):
+        CocoDataset(root, image_size=32, split="val")
