@@ -16,7 +16,10 @@ import json
 import time
 
 
-def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict:
+def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5,
+                 extra_overrides: list | None = None) -> dict:
+    """``extra_overrides`` is for experimentation from Python (e.g. the
+    int8 path); the CLI keeps the headline config pinned (see run())."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -26,7 +29,8 @@ def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict
 
     cfg = get_config(
         "val_v4-8_ap",
-        [f"infer.batch_size={batch_size}", "data.dataset=synthetic"],
+        [f"infer.batch_size={batch_size}", "data.dataset=synthetic",
+         *(extra_overrides or [])],
     )
     inf = Inferencer(cfg)
     rng = np.random.RandomState(0)
@@ -93,8 +97,10 @@ def _bench_infer(batch_size: int = 8, iters: int = 256, warmup: int = 5) -> dict
             f"is no longer amortized (scan width too small?)")
 
     imgs_per_s = batch_size * k / dt
+    size = cfg.model.image_size
     return {
-        "metric": "512x512 images/sec/chip (infer, bf16, batch 8, fwd+NMS)",
+        "metric": (f"{size}x{size} images/sec/chip (infer, "
+                   f"{cfg.infer.dtype}, batch {batch_size}, fwd+NMS)"),
         "value": round(imgs_per_s, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_s / 1000.0, 3),

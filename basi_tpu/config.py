@@ -132,6 +132,10 @@ class InferConfig:
     # the 512^2 letterbox frame. Needs original-resolution GT from the
     # dataset (FolderDataset/SyntheticDataset provide get_orig_masks).
     ap_at_original: bool = False
+    # bfloat16 | float32 | int8. int8 = dynamic post-training quantization
+    # (ops/quant.py): convs run s8xs8->s32 on the MXU (per-channel weight
+    # scales, per-tensor dynamic activation scales, no calibration set),
+    # everything else runs bf16. Checkpoints load unchanged.
     dtype: str = "bfloat16"
 
 

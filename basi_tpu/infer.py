@@ -120,7 +120,13 @@ class Inferencer:
         mean = tuple(cfg.data.mean)
         std = tuple(cfg.data.std)
         icfg = cfg.infer
-        compute_dtype = jnp.dtype(icfg.dtype) if icfg.dtype else self.model.dtype
+        # infer.dtype=int8: dynamic post-training quantization — convs run
+        # s8xs8->s32 on the MXU (ops/quant.py interceptor), everything
+        # else (BN affine, resizes, NMS, Pallas kernels) runs bf16.
+        self._quant = icfg.dtype == "int8"
+        compute_dtype = (jnp.bfloat16 if self._quant
+                         else jnp.dtype(icfg.dtype) if icfg.dtype
+                         else self.model.dtype)
         self._compute_dtype = compute_dtype
         # flax modules promote to their own dtype, so bf16 inference needs
         # the MODULE dtype switched, not just the input cast.
@@ -167,10 +173,16 @@ class Inferencer:
             x = (x - jnp.tile(jnp.asarray(mean), reps)) / jnp.tile(
                 jnp.asarray(std), reps)
             x = x.astype(compute_dtype)
-            out = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x,
-                train=False, with_candidates=False,
-            )
+            variables = {"params": params, "batch_stats": batch_stats}
+            if self._quant:
+                from basi_tpu.ops.quant import quantized_convs
+
+                with quantized_convs():  # active during jit TRACING
+                    out = model.apply(variables, x, train=False,
+                                      with_candidates=False)
+            else:
+                out = model.apply(variables, x, train=False,
+                                  with_candidates=False)
             if mechanism == "connected":
                 # SURVEY §2.8 swap hedge: instances = connected components
                 # of the thresholded saliency map, packed into the SAME
