@@ -44,7 +44,10 @@ def cmd_train(args) -> int:
     maybe_initialize()
     cfg = _build_cfg(args)
     trainer = Trainer(cfg)
-    metrics = trainer.train()
+    try:
+        metrics = trainer.train()
+    finally:
+        trainer.close()
     print(json.dumps({"final": metrics}))
     return 0
 

@@ -193,18 +193,25 @@ class CocoDataset:
         # must not shadow the real image dir).
         ann_suffix = os.path.splitext(os.path.basename(ann))[0]
         ann_suffix = ann_suffix.removeprefix("instances_")
-        probe_names = [im["file_name"] for im in doc.get("images", [])
-                       if im["id"] in by_image][:64]
+        probe_names = {im["file_name"] for im in doc.get("images", [])
+                       if im["id"] in by_image}
         cands = []
         for c in (split, ann_suffix, "images", ""):
             d = os.path.join(root, c) if c else root
             if os.path.isdir(d) and d not in cands:
                 cands.append(d)
-        img_dir = next(
-            (d for d in cands
-             if any(os.path.isfile(os.path.join(d, n))
-                    for n in probe_names)),
-            cands[0] if cands else root)
+
+        def has_any(d: str) -> bool:
+            # One listdir per candidate (ALL annotated names are checked,
+            # so a partial download whose early names are missing still
+            # resolves to the right dir).
+            try:
+                return any(n in probe_names for n in os.listdir(d))
+            except OSError:
+                return False
+
+        img_dir = next((d for d in cands if has_any(d)),
+                       cands[0] if cands else root)
         self.img_dir = img_dir
 
         # Keep only images that exist on disk AND have instances; sort by

@@ -82,7 +82,7 @@ class Inferencer:
         """Swap weights WITHOUT rebuilding the jitted programs (applies the
         same dtype pre-cast as _build). The Trainer's per-epoch eval uses
         this so the compiled eval program is reused across epochs."""
-        if self._compute_dtype == jnp.bfloat16:
+        if self._compute_dtype == jnp.bfloat16 and not self._quant:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
             batch_stats = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), batch_stats)
@@ -132,10 +132,12 @@ class Inferencer:
         # the MODULE dtype switched, not just the input cast.
         model = (self.model if compute_dtype == self.model.dtype
                  else self.model.clone(dtype=compute_dtype))
-        if compute_dtype == jnp.bfloat16:
+        if compute_dtype == jnp.bfloat16 and not self._quant:
             # Pre-cast weights ONCE: profiler traces show runtime f32->bf16
             # weight conversion/copy ops on every invocation otherwise
-            # (halves weight HBM reads too).
+            # (halves weight HBM reads too). int8 mode keeps params f32:
+            # conv kernels must quantize from the TRUE checkpoint values,
+            # not bf16-rounded ones (compounds the int8 noise floor).
             self.params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), self.params)
             self.batch_stats = jax.tree.map(
@@ -402,10 +404,13 @@ class Inferencer:
         if results_path:
             # Fail fast on an unwritable results path BEFORE hours of
             # inference, not after (the JSON is written once at the end).
+            # Append-mode probe: must NOT truncate pre-existing results,
+            # and must not forge a valid empty '[]' that a mid-run crash
+            # would leave looking like a successful zero-detection run.
             parent = os.path.dirname(os.path.abspath(results_path))
             os.makedirs(parent, exist_ok=True)
-            with open(results_path, "w") as f:
-                f.write("[]")
+            with open(results_path, "a"):
+                pass
         for start in range(0, len(paths), bs):
             chunk = [str(p) for p in paths[start:start + bs]]
             n_real = len(chunk)
@@ -441,15 +446,17 @@ class Inferencer:
                 # ONE keep predicate shared by the summary and the COCO
                 # export: score passes AND the pasted mask is non-empty
                 # (a slot whose mask shrinks to nothing under the paste
-                # is not an instance in either output).
-                kept = [
-                    (j, float(s)) for j, s in enumerate(scores_h[i])
-                    if s >= thr and s > 0
-                    and (arr_p[i, j, :min(oh, ch), :min(ow, cw)]
-                         > 0.5).any()
-                ]
+                # is not an instance in either output). Threshold each
+                # kept slot's slice once; the export reuses the bool mask.
+                kept = []
+                for j, s in enumerate(scores_h[i]):
+                    if s < thr or s <= 0:
+                        continue
+                    m = arr_p[i, j, :min(oh, ch), :min(ow, cw)] > 0.5
+                    if m.any():
+                        kept.append((j, float(s), m))
                 results.append({"path": chunk[i], "instances": len(kept),
-                                "scores": [s for _, s in kept]})
+                                "scores": [s for _, s, _ in kept]})
                 if not results_path:
                     continue
                 from basi_tpu.data.coco import mask_to_rle
@@ -467,8 +474,7 @@ class Inferencer:
                         f"{chunk[i]!r} and {seen_ids[image_id]!r} — their "
                         f"results merge under one id")
                 seen_ids.setdefault(image_id, chunk[i])
-                for j, s in kept:
-                    m = arr_p[i, j, :min(oh, ch), :min(ow, cw)] > 0.5
+                for j, s, m in kept:
                     if m.shape != (oh, ow):
                         # Original exceeds the paste-canvas cap: pad the
                         # cropped mask back to TRUE original size so

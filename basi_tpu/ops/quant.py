@@ -9,10 +9,14 @@ Mechanism: a flax *method interceptor* (``nn.intercept_methods``) rewrites
 every bound ``nn.Conv`` call inside the forward into a symmetric int8
 convolution:
 
-* weights: per-OUTPUT-CHANNEL symmetric scales (absmax/127), quantized at
-  trace time from the checkpoint values — the param tree is untouched, so
-  any existing checkpoint loads unchanged and the quantization cost is
-  O(params) of fused elementwise work per program;
+* weights: per-OUTPUT-CHANNEL symmetric scales (absmax/127) computed from
+  the checkpoint values — the param tree is untouched, so any existing
+  checkpoint loads unchanged. The quantization ops are staged into the
+  compiled program and EXECUTE per program run: O(params) fused
+  elementwise work (~100 MB of f32 kernel reads for ResNet-50, ~2% of a
+  batch-8 program; XLA hoists it out of scanned multi-batch programs as
+  loop-invariant). If int8 becomes the serving default, pre-quantizing
+  into a transformed param tree removes even that;
 * activations: per-TENSOR dynamic symmetric scale (absmax/127) computed on
   device each call — no calibration dataset needed;
 * accumulation: ``s8 x s8 -> s32`` via ``preferred_element_type``, then one
@@ -39,29 +43,55 @@ import jax.numpy as jnp
 
 
 def _as_pair(v) -> tuple:
+    if v is None:
+        return (1, 1)  # flax: None means 1
     if isinstance(v, int):
         return (v, v)
     return tuple(v)
 
 
-def _supported(m: nn.Conv, args, kwargs) -> bool:
-    if kwargs:
-        return False
-    if len(args) != 1 or getattr(args[0], "ndim", 0) != 4:
-        return False
-    if _as_pair(m.kernel_dilation) != (1, 1):
-        return False
-    if _as_pair(m.input_dilation) != (1, 1):
-        return False
-    if m.feature_group_count != 1:
-        return False
-    if not (isinstance(m.padding, str) or
-            all(len(p) == 2 for p in m.padding)):
-        return False
+def _norm_padding(padding):
+    """nn.Conv padding -> lax.conv padding, or None if unsupported."""
+    if isinstance(padding, str):
+        # CIRCULAR/CAUSAL are flax-level transforms lax.conv rejects.
+        return padding if padding in ("SAME", "VALID") else None
+    if isinstance(padding, int):
+        return [(padding, padding)] * 2
     try:
+        pairs = [(p, p) if isinstance(p, int) else tuple(p)
+                 for p in padding]
+    except TypeError:
+        return None
+    if len(pairs) == 2 and all(len(p) == 2 for p in pairs):
+        return pairs
+    return None
+
+
+def _supported(m: nn.Conv, args, kwargs) -> bool:
+    """True only for the plain-NHWC-conv subset the int8 twin reproduces
+    EXACTLY (modulo quantization noise). Anything else — including configs
+    that would merely crash lax.conv, masked convs, or custom conv
+    implementations — falls through to the original f32 path; this
+    function must never raise (the context manager promises it is safe
+    around ANY forward)."""
+    try:
+        if kwargs:
+            return False
+        if len(args) != 1 or getattr(args[0], "ndim", 0) != 4:
+            return False
+        if _as_pair(m.kernel_dilation) != (1, 1):
+            return False
+        if _as_pair(m.input_dilation) != (1, 1):
+            return False
+        if m.feature_group_count != 1:
+            return False
+        if getattr(m, "mask", None) is not None:
+            return False  # masked conv: quantizing p['kernel'] alone is wrong
+        if _norm_padding(m.padding) is None:
+            return False
         m.variables["params"]["kernel"]
-    except (KeyError, TypeError, AttributeError):
-        return False  # init-time call: let nn.Conv create its params
+    except Exception:
+        return False  # incl. init-time calls: let nn.Conv create its params
     return True
 
 
@@ -79,9 +109,9 @@ def quantized_conv(m: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
 
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
-    pad = m.padding if isinstance(m.padding, str) else list(m.padding)
     y = jax.lax.conv_general_dilated(
-        xq, wq, _as_pair(m.strides), pad, dimension_numbers=dn,
+        xq, wq, _as_pair(m.strides), _norm_padding(m.padding),
+        dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )
     out_dtype = m.dtype or x.dtype

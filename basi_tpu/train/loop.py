@@ -154,6 +154,12 @@ class Trainer:
                 f"mesh health check failed: psum of ones over {axis!r} "
                 f"returned {total}, expected {n}")
 
+    def close(self):
+        """Release observability sinks (JSONL handle, TB writer thread).
+        train() only FLUSHES so a Trainer stays reusable; the owner calls
+        close() when done with it (cli cmd_train does). Idempotent."""
+        self.logger.close()
+
     def train(self) -> dict:
         cfg = self.cfg
         start_step = int(jax.device_get(self.state.step))
