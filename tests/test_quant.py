@@ -108,3 +108,26 @@ def test_int8_uses_bf16_for_nonconv():
     inf8 = Inferencer(cfg8)
     assert inf8._compute_dtype == jnp.bfloat16
     assert inf8._quant
+
+
+def test_quantized_conv_int_padding_and_circular_fallthrough():
+    """padding=1 (int) quantizes with matching semantics; CIRCULAR (a
+    flax-level transform lax.conv rejects) falls through to exact f32."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 9, 9, 4).astype(np.float32))
+
+    conv_i = nn.Conv(8, (3, 3), padding=1)
+    p_i = conv_i.init(jax.random.PRNGKey(3), x)
+    y_ref = conv_i.apply(p_i, x)
+    with quantized_convs():
+        y_q = conv_i.apply(p_i, x)
+    assert y_q.shape == y_ref.shape
+    err = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert 0 < err < 0.03, err
+
+    conv_c = nn.Conv(8, (3, 3), padding="CIRCULAR")
+    p_c = conv_c.init(jax.random.PRNGKey(4), x)
+    y_ref = conv_c.apply(p_c, x)
+    with quantized_convs():
+        y_q = conv_c.apply(p_c, x)
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_ref))
