@@ -59,7 +59,8 @@ def cmd_infer(args) -> int:
     cfg = _build_cfg(args)
     inf = Inferencer(cfg, checkpoint=args.checkpoint)
     logger = MetricLogger(cfg.metrics_path)
-    metrics = inf.evaluate(max_batches=args.max_batches, logger=logger)
+    metrics = inf.evaluate(max_batches=args.max_batches, logger=logger,
+                           results_path=args.results)
     print(json.dumps(metrics))
     return 0
 
@@ -233,6 +234,10 @@ def main(argv=None) -> int:
         _add_common(p_inf)
         p_inf.add_argument("--checkpoint", default="", help="orbax params dir")
         p_inf.add_argument("--max-batches", type=int, default=0)
+        p_inf.add_argument("--results", default="",
+                           help="also write a COCO-format results JSON "
+                                "(true annotation ids on COCO datasets — "
+                                "drops into pycocotools COCOeval)")
         p_inf.set_defaults(fn=cmd_infer)
 
     p_pred = sub.add_parser(

@@ -286,6 +286,12 @@ class CocoDataset:
             count += 1
         return masks, valid
 
+    def image_id(self, i: int) -> int:
+        """The TRUE COCO image id from the annotation JSON — results
+        exported with it load directly into pycocotools COCOeval against
+        the original annotation file."""
+        return int(self.images[i]["id"])
+
     def get(self, i: int) -> Sample:
         im = self.images[i]
         img, (oh, ow) = self.decoder.decode_letterbox(

@@ -141,6 +141,10 @@ class SyntheticDataset:
              for m in range(self.max_instances)], np.uint8)
         return img, masks, valid
 
+    def image_id(self, i: int):
+        """COCO-results image id (ints for the synthetic set)."""
+        return int(i)
+
     def get(self, i: int) -> Sample:
         s = self.size
         oh, ow = self._dims(i)
@@ -208,6 +212,12 @@ class FolderDataset:
 
     def __len__(self) -> int:
         return len(self.names)
+
+    def image_id(self, i: int):
+        """COCO-results image id: all-digit stems (the COCO file naming
+        convention) parse to ints, anything else stays a string."""
+        stem = os.path.splitext(self.names[i])[0]
+        return int(stem) if stem.isdecimal() else stem
 
     def get(self, i: int) -> Sample:
         name = self.names[i]

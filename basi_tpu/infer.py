@@ -545,7 +545,13 @@ class Inferencer:
             )
 
     def evaluate(self, dataset=None, max_batches: int = 0,
-                 logger: MetricLogger | None = None) -> dict:
+                 logger: MetricLogger | None = None,
+                 results_path: str = "") -> dict:
+        """``results_path``: also export every kept prediction as a
+        COCO-format results entry (original-resolution compressed RLE,
+        image ids from ``dataset.image_id`` — for CocoDataset these are
+        the TRUE annotation-file ids, so the JSON drops straight into
+        pycocotools COCOeval for official cross-checking of our AP)."""
         cfg = self.cfg
         dataset = dataset or make_dataset(cfg.data, split="val")
         acc = APAccumulator(thresholds=(0.5, 0.7))
@@ -582,6 +588,23 @@ class Inferencer:
             warnings.warn("infer.save_png pastes at host-local resolution "
                           "and is single-host only; skipping PNG dump")
             save_png = False
+        if results_path and multiproc:
+            import warnings
+
+            warnings.warn("results export pastes at host-local resolution "
+                          "and is single-host only; skipping results JSON")
+            results_path = ""
+        coco_results: list[dict] = []
+        if results_path:
+            import os as _os
+
+            # Fail fast on an unwritable path; append-probe preserves any
+            # pre-existing file (see predict_paths).
+            _os.makedirs(_os.path.dirname(_os.path.abspath(results_path)),
+                         exist_ok=True)
+            with open(results_path, "a"):
+                pass
+            id_of = getattr(dataset, "image_id", lambda i: int(i))
 
         def to_device_args(batch):
             arrs = (np.asarray(batch["image"]), np.asarray(batch["masks"]),
@@ -631,11 +654,38 @@ class Inferencer:
             sal_mae_sum += float(mae_h[:nreal].sum())
             fs = f_h[:, :nreal].sum(axis=1)
             f_sum = fs if f_sum is None else f_sum + fs
-            if save_png:
-                # PNG paste/encode is postproc I/O; keep it out of the
+            if save_png or results_path:
+                # PNG/RLE paste+encode is postproc I/O; keep it out of the
                 # reported inference latency (timed separately below).
                 tp = _time.perf_counter()
-                self._save_batch_pngs(bi, batch, full, scores_h)
+                pasted = self._paste_batch(batch, full)
+                if save_png:
+                    self._save_batch_pngs(bi, batch, full, scores_h,
+                                          pasted=pasted)
+                if results_path:
+                    from basi_tpu.data.coco import mask_to_rle
+
+                    arr_p, ch, cw = pasted
+                    thr = cfg.infer.score_threshold
+                    for i in range(nreal):
+                        oh = int(batch["orig_hw"][i][0])
+                        ow = int(batch["orig_hw"][i][1])
+                        iid = id_of(int(batch["index"][i]))
+                        for j, s in enumerate(scores_h[i]):
+                            if s < thr or s <= 0:
+                                continue
+                            m = arr_p[i, j, :min(oh, ch), :min(ow, cw)] > 0.5
+                            if not m.any():
+                                continue
+                            if m.shape != (oh, ow):  # canvas-cap crop
+                                m = np.pad(m, ((0, oh - m.shape[0]),
+                                               (0, ow - m.shape[1])))
+                            coco_results.append({
+                                "image_id": iid,
+                                "category_id": 1,
+                                "score": float(s),
+                                "segmentation": mask_to_rle(m),
+                            })
                 png_ms += (_time.perf_counter() - tp) * 1000
             if t_steady is None:
                 # The first batch's fetch forced jit trace + XLA compile;
@@ -659,6 +709,13 @@ class Inferencer:
                         self.params, self.batch_stats, images,
                         gmasks, gvalid, gvalid_hw,
                     ))
+                if results_path and full.ndim == 0:
+                    # The fused eval program ships full-res masks only for
+                    # the PNG/orig-AP configs (HBM: the tensor stays live
+                    # for ``lag`` batches); results-only export upsamples
+                    # from the returned slot masks instead (same fused
+                    # kernel, one extra async dispatch per batch).
+                    full = self._full_fn(masks)
                 del masks  # full-res ``full`` supersedes it in the drain
                 if ap_orig:
                     # Swap the letterbox-frame IoU for original-frame IoU
@@ -683,10 +740,12 @@ class Inferencer:
             metrics["infer_ms_per_batch"] = round(per_batch, 2)
             metrics["imgs_per_s"] = round(
                 cfg.infer.batch_size / (per_batch / 1000), 1)
-            if png_ms:
+            if png_ms and save_png:
                 # Same steady-state window as infer_ms_per_batch: the
                 # compile-inclusive first batch is excluded from BOTH
-                # per-batch numbers so they are comparable.
+                # per-batch numbers so they are comparable. (results-only
+                # dump time is excluded from infer timing but not labeled
+                # as PNG time.)
                 metrics["png_ms_per_batch"] = round(
                     (png_ms - png_at_steady) / (n_batches - 1), 2)
         elif n_batches:  # single batch: compile-inclusive, best we can do
@@ -694,6 +753,12 @@ class Inferencer:
             metrics["imgs_per_s"] = round(
                 cfg.infer.batch_size / max((total_ms - png_ms) / 1000, 1e-9), 1)
         metrics["num_images"] = n_img
+        if results_path:
+            import json as _json
+
+            with open(results_path, "w") as f:
+                _json.dump(coco_results, f)
+            metrics["num_results"] = len(coco_results)
         if logger:
             logger.log(metrics, prefix="[eval]")
         return metrics

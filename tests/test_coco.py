@@ -356,3 +356,37 @@ def test_coco_inconsistent_annotation_ids_raise(tmp_path):
         json.dump(doc, f)
     with pytest.raises(ValueError, match="inconsistent"):
         CocoDataset(root, image_size=32, split="val")
+
+
+def test_eval_results_export_uses_true_coco_ids(tmp_path, capsys):
+    """basi eval --results on a CocoDataset: the exported entries carry
+    the annotation JSON's TRUE image ids and original-resolution RLEs —
+    the file drops into pycocotools COCOeval against the same JSON."""
+    from basi_tpu.cli import main
+    from basi_tpu.data.coco import rle_decompress, rle_to_mask
+
+    root = str(tmp_path / "coco")
+    os.makedirs(root)
+    _write_coco_tree(root)
+    res_path = tmp_path / "r.json"
+    args = []
+    for kv in ["model.backbone=resnet_tiny", "model.image_size=64",
+               "model.grid_size=8", "model.fpn_channels=32",
+               "model.mask_channels=32", "data.image_size=64",
+               "data.dataset=coco", f"data.root={root}", "data.split=val",
+               "data.max_instances=4", "infer.batch_size=2",
+               "infer.dtype=float32", "infer.score_threshold=0.0",
+               "parallel.num_devices=1"]:
+        args += ["--set", kv]
+    rc = main(["eval", *args, "--results", str(res_path)])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    entries = json.loads(res_path.read_text())
+    assert metrics["num_results"] == len(entries) and entries
+    sizes = {1: [40, 64], 2: [32, 32]}  # ids from _write_coco_tree
+    assert {e["image_id"] for e in entries} <= set(sizes)
+    for e in entries:
+        assert e["segmentation"]["size"] == sizes[e["image_id"]]
+        h, w = e["segmentation"]["size"]
+        m = rle_to_mask(rle_decompress(e["segmentation"]["counts"]), h, w)
+        assert m.any()
