@@ -443,24 +443,12 @@ class Inferencer:
             arr_p, ch, cw = pasted
             for i in range(n_real):
                 oh, ow = int(orig_hw[i][0]), int(orig_hw[i][1])
-                # ONE keep predicate shared by the summary and the COCO
-                # export: score passes AND the pasted mask is non-empty
-                # (a slot whose mask shrinks to nothing under the paste
-                # is not an instance in either output). Threshold each
-                # kept slot's slice once; the export reuses the bool mask.
-                kept = []
-                for j, s in enumerate(scores_h[i]):
-                    if s < thr or s <= 0:
-                        continue
-                    m = arr_p[i, j, :min(oh, ch), :min(ow, cw)] > 0.5
-                    if m.any():
-                        kept.append((j, float(s), m))
+                kept = self._kept_instances(arr_p[i], scores_h[i],
+                                            oh, ow, thr)
                 results.append({"path": chunk[i], "instances": len(kept),
                                 "scores": [s for _, s, _ in kept]})
                 if not results_path:
                     continue
-                from basi_tpu.data.coco import mask_to_rle
-
                 # image_id from the ORIGINAL stem per the COCO all-digit
                 # naming convention (isdecimal matches int()'s domain;
                 # isdigit accepts e.g. superscripts that int() rejects).
@@ -474,27 +462,46 @@ class Inferencer:
                         f"{chunk[i]!r} and {seen_ids[image_id]!r} — their "
                         f"results merge under one id")
                 seen_ids.setdefault(image_id, chunk[i])
-                for j, s, m in kept:
-                    if m.shape != (oh, ow):
-                        # Original exceeds the paste-canvas cap: pad the
-                        # cropped mask back to TRUE original size so
-                        # pycocotools' size-keyed IoU stays valid (content
-                        # beyond the canvas is lost; warned in
-                        # _paste_batch).
-                        m = np.pad(m, ((0, oh - m.shape[0]),
-                                       (0, ow - m.shape[1])))
-                    coco_results.append({
-                        "image_id": image_id,
-                        "category_id": 1,  # single salient class
-                        "score": s,
-                        "segmentation": mask_to_rle(m),
-                    })
+                coco_results.extend(
+                    self._coco_entry(image_id, s, m, oh, ow)
+                    for _, s, m in kept)
         if results_path:
             import json
 
             with open(results_path, "w") as f:
                 json.dump(coco_results, f)
         return results
+
+    @staticmethod
+    def _kept_instances(slots: np.ndarray, scores: np.ndarray,
+                        oh: int, ow: int, thr: float):
+        """ONE keep predicate for every prediction-export consumer
+        (summary counts, PNGs are score-gated separately, COCO entries):
+        score passes AND the pasted mask is non-empty. Returns
+        [(slot, score, bool_mask_cropped_to_canvas)]."""
+        kept = []
+        ch, cw = slots.shape[-2:]
+        for j, s in enumerate(scores):
+            if s < thr or s <= 0:
+                continue
+            m = slots[j, :min(oh, ch), :min(ow, cw)] > 0.5
+            if m.any():
+                kept.append((j, float(s), m))
+        return kept
+
+    @staticmethod
+    def _coco_entry(image_id, score: float, m: np.ndarray,
+                    oh: int, ow: int) -> dict:
+        """One COCO results entry at TRUE original resolution (canvas-cap
+        crops are zero-padded back so pycocotools' size-keyed IoU stays
+        valid; content beyond the canvas is lost — warned in
+        _paste_batch)."""
+        from basi_tpu.data.coco import mask_to_rle
+
+        if m.shape != (oh, ow):
+            m = np.pad(m, ((0, oh - m.shape[0]), (0, ow - m.shape[1])))
+        return {"image_id": image_id, "category_id": 1, "score": score,
+                "segmentation": mask_to_rle(m)}
 
     def _paste_batch(self, batch: dict, full) -> tuple[np.ndarray, int, int]:
         """Paste full-res slot masks to ORIGINAL resolution on device. The
@@ -663,29 +670,16 @@ class Inferencer:
                     self._save_batch_pngs(bi, batch, full, scores_h,
                                           pasted=pasted)
                 if results_path:
-                    from basi_tpu.data.coco import mask_to_rle
-
-                    arr_p, ch, cw = pasted
+                    arr_p, _, _ = pasted
                     thr = cfg.infer.score_threshold
                     for i in range(nreal):
                         oh = int(batch["orig_hw"][i][0])
                         ow = int(batch["orig_hw"][i][1])
                         iid = id_of(int(batch["index"][i]))
-                        for j, s in enumerate(scores_h[i]):
-                            if s < thr or s <= 0:
-                                continue
-                            m = arr_p[i, j, :min(oh, ch), :min(ow, cw)] > 0.5
-                            if not m.any():
-                                continue
-                            if m.shape != (oh, ow):  # canvas-cap crop
-                                m = np.pad(m, ((0, oh - m.shape[0]),
-                                               (0, ow - m.shape[1])))
-                            coco_results.append({
-                                "image_id": iid,
-                                "category_id": 1,
-                                "score": float(s),
-                                "segmentation": mask_to_rle(m),
-                            })
+                        coco_results.extend(
+                            self._coco_entry(iid, s, m, oh, ow)
+                            for _, s, m in self._kept_instances(
+                                arr_p[i], scores_h[i], oh, ow, thr))
                 png_ms += (_time.perf_counter() - tp) * 1000
             if t_steady is None:
                 # The first batch's fetch forced jit trace + XLA compile;
