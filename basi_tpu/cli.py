@@ -96,7 +96,10 @@ def cmd_predict(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Convert a Trainer checkpoint to a bare params export for serving."""
+    """Convert a Trainer checkpoint to a bare params export for serving,
+    or (``--torch out.pth``) to a torch state_dict — the inverse of
+    ``basi import``, so TPU-trained weights load back into a torch
+    BASINet for independent verification."""
     import dataclasses
 
     from basi_tpu.infer import Inferencer
@@ -109,7 +112,35 @@ def cmd_export(args) -> int:
     # serving re-casts to its own compute dtype at load.
     cfg = dataclasses.replace(
         cfg, infer=dataclasses.replace(cfg.infer, dtype="float32"))
+    if not args.torch and not args.out:
+        raise SystemExit("export needs --out (orbax) or --torch (.pth)")
+    if args.torch:
+        from basi_tpu.models.resnet import STAGE_SIZES
+
+        if cfg.model.backbone not in STAGE_SIZES:
+            raise ValueError(
+                f"torch export unsupported for backbone "
+                f"{cfg.model.backbone!r} (ResNet family only, like import)")
     inf = Inferencer(cfg, checkpoint=args.checkpoint)
+    if args.torch:
+        import jax
+        import numpy as np
+        import torch
+
+        from basi_tpu.convert.torch_export import export_basinet
+        from basi_tpu.models.resnet import STAGE_SIZES
+
+        params = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
+                              inf.params)
+        stats = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
+                             inf.batch_stats)
+        sd = export_basinet(params, stats,
+                            STAGE_SIZES[cfg.model.backbone])
+        torch.save({k: torch.from_numpy(np.asarray(v).copy())
+                    for k, v in sd.items()}, args.torch)
+        print(json.dumps({"exported_torch": args.torch,
+                          "tensors": len(sd)}))
+        return 0
     export_params(args.out, inf.params, inf.batch_stats)
     print(json.dumps({"exported": args.out}))
     return 0
@@ -256,10 +287,15 @@ def main(argv=None) -> int:
                              "resolution, pycocotools-loadable)")
     p_pred.set_defaults(fn=cmd_predict)
 
-    p_exp = sub.add_parser("export", help="trainer ckpt -> serving params")
+    p_exp = sub.add_parser(
+        "export", help="trainer ckpt -> serving params (or torch .pth)")
     _add_common(p_exp)
     p_exp.add_argument("--checkpoint", required=True)
-    p_exp.add_argument("--out", required=True)
+    p_exp.add_argument("--out", default="",
+                       help="orbax params export dir")
+    p_exp.add_argument("--torch", default="",
+                       help="write a torch state_dict .pth instead "
+                            "(inverse of `basi import`)")
     p_exp.set_defaults(fn=cmd_export)
 
     p_imp = sub.add_parser(
