@@ -117,10 +117,12 @@ def cmd_export(args) -> int:
     if args.torch:
         from basi_tpu.models.resnet import STAGE_SIZES
 
-        if cfg.model.backbone not in STAGE_SIZES:
+        if (cfg.model.backbone not in STAGE_SIZES
+                and cfg.model.backbone != "vgg16"):
             raise ValueError(
                 f"torch export unsupported for backbone "
-                f"{cfg.model.backbone!r} (ResNet family only, like import)")
+                f"{cfg.model.backbone!r} (ResNet family or vgg16, "
+                f"like import)")
     inf = Inferencer(cfg, checkpoint=args.checkpoint)
     if args.torch:
         import jax
@@ -135,7 +137,8 @@ def cmd_export(args) -> int:
         stats = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
                              inf.batch_stats)
         sd = export_basinet(params, stats,
-                            STAGE_SIZES[cfg.model.backbone])
+                            STAGE_SIZES.get(cfg.model.backbone, (3, 4, 6, 3)),
+                            backbone=cfg.model.backbone)
         torch.save({k: torch.from_numpy(np.asarray(v).copy())
                     for k, v in sd.items()}, args.torch)
         print(json.dumps({"exported_torch": args.torch,
@@ -160,19 +163,22 @@ def cmd_import(args) -> int:
     from basi_tpu.models.resnet import STAGE_SIZES
 
     cfg = _build_cfg(args)
-    if args.what == "full" and cfg.model.backbone not in STAGE_SIZES:
+    if (args.what == "full" and cfg.model.backbone not in STAGE_SIZES
+            and cfg.model.backbone != "vgg16"):
         # Fail BEFORE loading the torch file: import_basinet only maps
-        # ResNet-style state_dicts; letting e.g. vgg16 fall through used to
-        # die with an opaque missing-key error deep in the converter.
+        # ResNet-family and vgg16 state_dicts; letting an unknown backbone
+        # fall through used to die with an opaque missing-key error deep
+        # in the converter.
         raise ValueError(
             f"full import unsupported for backbone {cfg.model.backbone!r} "
-            f"(ResNet state_dicts only; use --what backbone for vgg16)")
+            f"(ResNet family or vgg16 state_dicts only)")
     sd = _load_torch_state_dict(args.torch)
     stage_sizes = STAGE_SIZES.get(cfg.model.backbone, (3, 4, 6, 3))
     if args.what == "full":
         from basi_tpu.convert.full_import import import_basinet
 
-        params, stats = import_basinet(sd, stage_sizes)
+        params, stats = import_basinet(sd, stage_sizes,
+                                       backbone=cfg.model.backbone)
     else:
         from basi_tpu.convert.torch_import import (
             import_resnet50_backbone,

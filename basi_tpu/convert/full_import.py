@@ -17,7 +17,11 @@ from typing import Mapping
 
 import numpy as np
 
-from basi_tpu.convert.torch_import import _conv, import_resnet50_backbone
+from basi_tpu.convert.torch_import import (
+    _conv,
+    import_resnet50_backbone,
+    import_vgg16_backbone,
+)
 
 
 def _conv_entry(sd, tname):
@@ -38,16 +42,26 @@ def import_basinet(
     saliency_levels: int = 4,
     maskfeat_levels: int = 4,
     instance_depth: int = 3,
+    backbone: str = "resnet50",
 ) -> tuple[dict, dict]:
-    """torch BASINet state_dict -> (params, batch_stats) for flax BASINet."""
+    """torch BASINet state_dict -> (params, batch_stats) for flax BASINet.
+
+    ``backbone`` picks the trunk mapping: any ResNet family member uses
+    ``stage_sizes``; ``"vgg16"`` maps torchvision ``features.*`` indices
+    (and returns empty batch_stats — classic VGG16 has no BatchNorm, so
+    the flax model's variables carry none either).
+    """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
 
     bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}
-    bb_params, bb_stats = import_resnet50_backbone(bb_sd, stage_sizes)
+    if backbone == "vgg16":
+        bb_params, bb_stats = import_vgg16_backbone(bb_sd)
+    else:
+        bb_params, bb_stats = import_resnet50_backbone(bb_sd, stage_sizes)
 
     params: dict = {"backbone": bb_params}
-    stats: dict = {"backbone": bb_stats}
+    stats: dict = {"backbone": bb_stats} if bb_stats else {}
 
     fpn = {}
     for i in range(fpn_levels):

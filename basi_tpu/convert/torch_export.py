@@ -61,13 +61,28 @@ def export_resnet50_backbone(params: dict, stats: dict,
     return out
 
 
+def export_vgg16_backbone(params: dict) -> dict:
+    """VGG16 trunk params -> torchvision-style ``features.{idx}.*`` entries
+    (no 'backbone.' prefix; classic VGG16 carries no running stats)."""
+    from basi_tpu.convert.torch_import import _VGG16_LAYOUT
+
+    out: dict = {}
+    for idx, name in _VGG16_LAYOUT:
+        _put_conv(out, f"features.{idx}", params[name])
+    return out
+
+
 def export_basinet(params: dict, batch_stats: dict,
-                   stage_sizes=(3, 4, 6, 3)) -> dict:
+                   stage_sizes=(3, 4, 6, 3),
+                   backbone: str = "resnet50") -> dict:
     """Full BASINet variables -> torch state_dict (reference-style module
     names, the exact inverse of full_import.import_basinet)."""
     out: dict = {}
-    bb = export_resnet50_backbone(params["backbone"],
-                                  batch_stats["backbone"], stage_sizes)
+    if backbone == "vgg16":
+        bb = export_vgg16_backbone(params["backbone"])
+    else:
+        bb = export_resnet50_backbone(params["backbone"],
+                                      batch_stats["backbone"], stage_sizes)
     out.update({f"backbone.{k}": v for k, v in bb.items()})
 
     fpn = params["fpn"]

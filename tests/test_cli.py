@@ -118,13 +118,39 @@ def test_cli_import_torch_full(tmp_path, capsys):
     assert rc == 0
 
 
-def test_cli_import_full_rejects_vgg16(tmp_path):
-    """--what full only maps ResNet state_dicts; a vgg16 config must get a
-    clear error BEFORE any torch file is touched (not an opaque missing-key
-    crash inside the converter)."""
+def test_cli_import_torch_full_vgg16(tmp_path, capsys):
+    """`basi import --what full` on the reference's VGG16 variant: the
+    whole state_dict (features.* trunk + heads) converts and the export
+    loads for inference."""
+    import torch
+
+    from torch_basi import TorchBASINet
+
+    tmodel = TorchBASINet(fpn_ch=32, mask_ch=32, grid=8,
+                          backbone="vgg16").eval()
+    torch.save(tmodel.state_dict(), f"{tmp_path}/ref.pth")
+
+    args = [a if a != "model.backbone=resnet_tiny"
+            else "model.backbone=vgg16" for a in TINY]
+    rc = main(["import", *args,
+               "--torch", f"{tmp_path}/ref.pth",
+               "--out", f"{tmp_path}/imported"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["what"] == "full"
+    rc = main(["infer", *args,
+               "--checkpoint", f"{tmp_path}/imported",
+               "--max-batches", "1"])
+    assert rc == 0
+
+
+def test_cli_import_full_rejects_unknown_backbone(tmp_path):
+    """--what full maps ResNet-family and vgg16 state_dicts; any other
+    backbone must get a clear error BEFORE the torch file is touched (not
+    an opaque missing-key crash inside the converter)."""
     with pytest.raises(ValueError, match="full import unsupported"):
         main(["import", *TINY,
-              "--set", "model.backbone=vgg16",
+              "--set", "model.backbone=densenet",
               "--torch", f"{tmp_path}/nonexistent.pth",
               "--out", f"{tmp_path}/imported"])
 

@@ -10,7 +10,7 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
-from torch_ref import ResNet50Trunk
+from torch_ref import ResNet50Trunk, VGG16Features
 
 
 def _resize(x, hw):
@@ -110,10 +110,14 @@ class InstanceKernelHead(nn.Module):
 
 class TorchBASINet(nn.Module):
     def __init__(self, stage_sizes=(3, 4, 6, 3), fpn_ch=256, mask_ch=64,
-                 grid=16):
+                 grid=16, backbone="resnet"):
         super().__init__()
-        self.backbone = ResNet50Trunk(stage_sizes)
-        in_chs = [256, 512, 1024, 2048]
+        if backbone == "vgg16":
+            self.backbone = VGG16Features()
+            in_chs = [256, 512, 512, 512]
+        else:
+            self.backbone = ResNet50Trunk(stage_sizes)
+            in_chs = [256, 512, 1024, 2048]
         self.fpn = FPN(in_chs, fpn_ch)
         self.saliency = SaliencyHead(fpn_ch, 64, 4)
         self.maskfeat = MaskFeatureHead(fpn_ch, 128, mask_ch, 4)
