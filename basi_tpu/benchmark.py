@@ -168,10 +168,17 @@ def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3,
 
     new_state, losses = run_many(state, batches)
     float(jax.device_get(losses[-1]))  # warmup + compile
-    t0 = time.perf_counter()
-    _, losses = run_many(state, batches)
-    float(jax.device_get(jnp.sum(losses)))
-    dt = time.perf_counter() - t0  # total for ``iters`` steps
+    # Best-of-3 like _bench_infer: single-shot timing is exposed to the
+    # relay's bimodal interference (measured back-to-back same-code runs
+    # of 93.6 / 434.5 / 93.6 ms/step — one contended run would be the
+    # recorded number).
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, losses = run_many(state, batches)
+        float(jax.device_get(jnp.sum(losses)))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)  # total for ``iters`` steps
     ms = dt / iters * 1000
     return {
         "metric": (f"train step ms (batch {batch_size}, {size}x{size}, "

@@ -16,7 +16,6 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from basi_tpu.ops.pool import max_pool
 
 
 # Bottleneck-count presets, torchvision numbering. Depths beyond 50 reuse
@@ -201,10 +200,14 @@ class ResNet50(nn.Module):
         else:
             x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
         x = nn.relu(x)
-        # ops.pool.max_pool: forward-identical to nn.max_pool, but its
-        # custom VJP avoids XLA select-and-scatter (1.05 ms of the bf16
-        # batch-16 train step on v5e); gradient routing is bitwise-equal.
-        x = max_pool(x, (3, 3), (2, 2), ((1, 1), (1, 1)))
+        # Plain reduce_window pool (select-and-scatter backward, 1.05 ms
+        # of the bf16 batch-16 train step on v5e). The custom-VJP
+        # alternative (ops.pool.max_pool) measured +50 ms/step EMBEDDED in
+        # the f32 train program on-chip (157.8 vs 107.9 ms/step A/B): its
+        # 9-way sequential slice-compare/pad/add chain at (16,256,256,64)
+        # does not fuse. It remains available as an opt-in op; do not
+        # route it here without re-measuring embedded.
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         feats = []
         widths = (64, 128, 256, 512)

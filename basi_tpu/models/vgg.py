@@ -14,9 +14,6 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from basi_tpu.ops.pool import max_pool
-
-
 class VGG16(nn.Module):
     """VGG16 trunk returning a 4-level (C2..C5) pyramid at strides 4/8/16/32."""
 
@@ -38,7 +35,7 @@ class VGG16(nn.Module):
         feats = {}
         for block, chans in cfg:
             if block > 1:
-                x = max_pool(x, (2, 2), (2, 2), ((0, 0), (0, 0)))
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for i, ch in enumerate(chans):
                 x = nn.Conv(
                     ch, (3, 3), padding=[(1, 1), (1, 1)],
@@ -50,5 +47,5 @@ class VGG16(nn.Module):
         c2 = feats[3]  # /4
         c3 = feats[4]  # /8
         c4 = feats[5]  # /16
-        c5 = max_pool(feats[5], (2, 2), (2, 2), ((0, 0), (0, 0)))  # /32
+        c5 = nn.max_pool(feats[5], (2, 2), strides=(2, 2))  # /32
         return (c2, c3, c4, c5)

@@ -1,12 +1,23 @@
-"""Max-pool with a bandwidth-lean backward (no select-and-scatter).
+"""Max-pool with a select-and-scatter-free backward. OPT-IN ONLY — slower
+embedded on v5e; see the measurement below before routing it anywhere.
 
 ``jax.grad`` of ``lax.reduce_window``-max lowers to XLA SelectAndScatter,
 which TPU executes as a serialized window scan — the single stem 3x3/s2
 pool's backward was 1.05 ms of the 66 ms bf16 batch-16 train step (xplane,
 round 3). The same gradient is computed here as ``kh*kw`` strided
 slice-compares at OUTPUT resolution plus ``kh*kw`` interior-padded adds at
-input resolution — pure elementwise/layout work the XLA fuser handles in
-one pass, no scatter.
+input resolution — pure elementwise/layout work intended for the XLA fuser.
+
+**On-chip verdict (v5e, measured 2026-08-18, A/B embedded in the f32
+batch-16 512² train program): 157.8 ms/step with this VJP vs 107.9 with
+plain ``nn.max_pool`` — +50 ms, i.e. ~50x worse than the 1.05 ms scatter
+it replaces.** The ``seen``-chained 9-way slice-compare/pad/add sequence
+does not fuse: each interior-padded add materializes the full
+(N, H+pad, W+pad, C) accumulator. The op was landed during a TPU outage
+with interpret-mode/CPU verification only — exactness held, performance
+did not. It stays available (and exactness-tested) for backends where
+SelectAndScatter is pathological, but the model stems use
+``nn.max_pool``.
 
 Routing semantics match XLA SelectAndScatter exactly: the gradient of each
 window goes to the FIRST element equal to the window max, in row-major
