@@ -1,9 +1,24 @@
-"""Saliency-map metrics: MAE and F-measure (device-side).
+"""Saliency-map metrics: MAE, F-measure, S-measure, E-measure and relaxed
+boundary-F (device-side).
 
 The salient-object-detection literature the reference belongs to (BASNet,
-ILSO papers) reports MAE and max/mean F-beta alongside instance AP; the
-instance part is covered by evals.ap — these complete the eval surface for
-the saliency branch. All reductions run on device; only scalars return.
+ILSO papers) reports MAE and max/mean F-beta alongside instance AP, and the
+modern SOD benchmark suite adds the structure measure S (Fan et al.,
+ICCV 2017), the enhanced-alignment measure E (Fan et al., IJCAI 2018) and —
+for boundary-aware models like BASNet — the relaxed boundary F-measure
+(rho-tolerant boundary precision/recall). The instance part is covered by
+evals.ap — these complete the eval surface for the saliency branch. All
+reductions run on device; only small per-image tensors return.
+
+TPU-native notes:
+  * max-E over a threshold sweep reuses the SAME per-image histograms as
+    max-F: for a binarized prediction the E alignment map takes only four
+    values (one per (pred,gt) cell), each a function of the scalar means —
+    so the sweep is O(T) scalar math after one histogram pass instead of a
+    (T, N, H, W) broadcast.
+  * S-measure's centroid quadrant split uses index masks (i < cy) instead
+    of dynamic slicing, keeping every shape static under jit/vmap.
+  * boundary extraction/dilation are ``lax.reduce_window`` min/max pools.
 """
 
 from __future__ import annotations
@@ -64,6 +79,22 @@ def f_measure_hist(pred: jnp.ndarray, target: jnp.ndarray,
     letterbox content region (padding pixels otherwise count as trivially
     correct negatives, deflating the metric for non-square images).
     """
+    tp, pp, gt_area, _ = _threshold_hist_counts(pred, target, num_thresholds,
+                                                valid)
+    precision = tp / jnp.maximum(pp, _EPS)
+    recall = tp / jnp.maximum(gt_area, _EPS)
+    f = ((1 + beta2) * precision * recall
+         / jnp.maximum(beta2 * precision + recall, _EPS))
+    return f[:, 1:].T  # (T-1, N): thresholds k/T, k=1..T-1
+
+
+def _threshold_hist_counts(pred, target, num_thresholds, valid):
+    """Shared histogram pass for the threshold-sweep metrics.
+
+    Returns (tp, pp, gt_area, n_valid): tp/pp are (N, T) counts of
+    (pred >= k/T & gt) / (pred >= k/T) for k = 0..T-1; gt_area is (N, 1)
+    and n_valid (N, 1) the content-pixel count.
+    """
     t_count = num_thresholds
     n = pred.shape[0]
     p = pred.astype(jnp.float32).reshape(n, -1)
@@ -84,8 +115,194 @@ def f_measure_hist(pred: jnp.ndarray, target: jnp.ndarray,
     pp = jnp.cumsum(all_h[:, ::-1], axis=1)[:, ::-1]  # (N, T): #(bin >= k)
     tp = jnp.cumsum(pos_h[:, ::-1], axis=1)[:, ::-1]
     gt_area = jnp.sum(t, axis=1, keepdims=True)
-    precision = tp / jnp.maximum(pp, _EPS)
-    recall = tp / jnp.maximum(gt_area, _EPS)
-    f = ((1 + beta2) * precision * recall
-         / jnp.maximum(beta2 * precision + recall, _EPS))
-    return f[:, 1:].T  # (T-1, N): thresholds k/T, k=1..T-1
+    n_valid = jnp.sum(w, axis=1, keepdims=True)
+    return tp, pp, gt_area, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_thresholds",))
+def e_measure_hist(pred: jnp.ndarray, target: jnp.ndarray,
+                   num_thresholds: int = 64,
+                   valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-image E-measure curve over thresholds k/T, k=1..T-1 — (T-1, N).
+
+    Enhanced-alignment measure (Fan et al., IJCAI 2018): for binarized
+    pred B and gt G, phi = x - mean(x); align = 2*phi_B*phi_G /
+    (phi_B^2 + phi_G^2); enhanced = (align+1)^2/4; E = mean over the
+    (H*W - 1)-normalized sum. Because B and G are binary, the alignment
+    map takes exactly four values — functions of the scalar means — so the
+    whole sweep reduces to the tp/pp histogram counts (see module note).
+
+    Edge cases follow the official implementation: empty GT scores the
+    fraction of predicted-background pixels; full-frame GT the fraction of
+    predicted-foreground pixels. Returns the curve so a streaming
+    evaluator can average per-image E over the dataset before taking the
+    max (dataset-level max-E convention, like max-F).
+    """
+    tp, pp, gt_area, n = _threshold_hist_counts(pred, target, num_thresholds,
+                                                valid)
+    fp = pp - tp
+    fn = gt_area - tp
+    tn = n - pp - fn
+    mu_p = pp / jnp.maximum(n, 1.0)
+    mu_g = gt_area / jnp.maximum(n, 1.0)
+
+    def enhanced(phi_p, phi_g):
+        align = (2.0 * phi_p * phi_g
+                 / jnp.maximum(phi_p ** 2 + phi_g ** 2, _EPS))
+        return (align + 1.0) ** 2 / 4.0
+
+    total = (tp * enhanced(1.0 - mu_p, 1.0 - mu_g)
+             + fp * enhanced(1.0 - mu_p, -mu_g)
+             + fn * enhanced(-mu_p, 1.0 - mu_g)
+             + tn * enhanced(-mu_p, -mu_g))
+    e = total / jnp.maximum(n - 1.0, _EPS)
+    # Official edge cases: GT empty -> enhanced map is 1-B; GT full -> B.
+    e = jnp.where(gt_area <= 0.0, (n - pp) / jnp.maximum(n - 1.0, _EPS), e)
+    e = jnp.where(gt_area >= n, pp / jnp.maximum(n - 1.0, _EPS), e)
+    # The official (H*W - 1) normalizer lets a perfect map score
+    # n/(n-1) — marginally above 1. Clamp so reported E stays in [0, 1]
+    # (divergence from the official value is at most 1/(n-1)).
+    return jnp.minimum(e, 1.0)[:, 1:].T  # (T-1, N): thresholds k/T
+
+
+def _masked_moments(x: jnp.ndarray, w: jnp.ndarray, ddof: int = 0):
+    """(mean, var, count) of ``x`` over the weight/indicator mask ``w``."""
+    n = jnp.sum(w)
+    mean = jnp.sum(x * w) / jnp.maximum(n, _EPS)
+    var = (jnp.sum(((x - mean) ** 2) * w)
+           / jnp.maximum(n - float(ddof), _EPS))
+    return mean, var, n
+
+
+def _region_ssim(p: jnp.ndarray, t: jnp.ndarray, w: jnp.ndarray):
+    """SSIM-flavoured similarity of one centroid quadrant (weight mask w),
+    matching the official S-measure's ``ssim`` (ddof=1 moments)."""
+    n = jnp.sum(w)
+    safe_n = jnp.maximum(n, _EPS)
+    x = jnp.sum(p * w) / safe_n
+    y = jnp.sum(t * w) / safe_n
+    nm1 = jnp.maximum(n - 1.0, _EPS)
+    sig_x = jnp.sum(((p - x) ** 2) * w) / nm1
+    sig_y = jnp.sum(((t - y) ** 2) * w) / nm1
+    sig_xy = jnp.sum((p - x) * (t - y) * w) / nm1
+    a = 4.0 * x * y * sig_xy
+    b = (x ** 2 + y ** 2) * (sig_x + sig_y)
+    return jnp.where(a != 0.0, a / (b + _EPS),
+                     jnp.where(b == 0.0, 1.0, 0.0))
+
+
+def _s_object_term(p: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
+    """Object-level similarity of pred values over one GT region
+    (official ``object``: 2*mean / (mean^2 + 1 + std), ddof=0 std)."""
+    x, var, _ = _masked_moments(p, ind)
+    return 2.0 * x / (x ** 2 + 1.0 + jnp.sqrt(var) + _EPS)
+
+
+def _s_measure_single(p: jnp.ndarray, t: jnp.ndarray, w: jnp.ndarray,
+                      alpha: float) -> jnp.ndarray:
+    """Structure measure of ONE image; p/t/w are (H, W) f32."""
+    h, wd = p.shape
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    y = jnp.sum(t * w) / n  # GT foreground prior over the content region
+    mean_p = jnp.sum(p * w) / n
+
+    # --- object term: GT-fg stats of pred, GT-bg stats of (1 - pred) ---
+    fg_ind = t * w
+    bg_ind = (1.0 - t) * w
+    s_obj = (y * _s_object_term(p * fg_ind, fg_ind)
+             + (1.0 - y) * _s_object_term((1.0 - p) * bg_ind, bg_ind))
+
+    # --- region term: 4 quadrants at the GT centroid (official rounding:
+    # round(mean coordinate) + 1, upper-left block inclusive) ---
+    nf = jnp.maximum(jnp.sum(fg_ind), _EPS)
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(wd, dtype=jnp.float32)[None, :]
+    cy = jnp.round(jnp.sum(rows * fg_ind) / nf) + 1.0
+    cx = jnp.round(jnp.sum(cols * fg_ind) / nf) + 1.0
+    top = (rows < cy).astype(jnp.float32)
+    left = (cols < cx).astype(jnp.float32)
+    quads = (top * left, top * (1 - left), (1 - top) * left,
+             (1 - top) * (1 - left))
+    s_reg = 0.0
+    for q in quads:
+        qw = q * w
+        weight = jnp.sum(qw) / n  # == official area fraction when w == 1
+        s_reg = s_reg + weight * _region_ssim(p, t, qw)
+
+    s = alpha * s_obj + (1.0 - alpha) * s_reg
+    s = jnp.maximum(s, 0.0)
+    # Official edge cases: empty GT scores 1 - mean(pred); full GT mean(pred).
+    s = jnp.where(y <= 0.0, 1.0 - mean_p, s)
+    s = jnp.where(y >= 1.0, mean_p, s)
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("alpha",))
+def s_measure(pred: jnp.ndarray, target: jnp.ndarray,
+              valid: jnp.ndarray | None = None,
+              alpha: float = 0.5) -> jnp.ndarray:
+    """Per-image structure measure S (Fan et al., ICCV 2017) — (N,) f32.
+
+    S = alpha * S_object + (1-alpha) * S_region. The region term splits
+    pred/GT into four blocks at the GT centroid; here the split is four
+    index MASKS (static shapes — no dynamic slicing under jit), with
+    weighted moments replacing the official implementation's sliced-array
+    moments, which is exactly equivalent. ``valid`` restricts everything
+    to the letterbox content region (moments, centroid, block weights).
+    """
+    p = pred.astype(jnp.float32)
+    t = (target.astype(jnp.float32) > 0.5).astype(jnp.float32)
+    w = (jnp.ones_like(p) if valid is None else valid.astype(jnp.float32))
+    return jax.vmap(lambda pi, ti, wi: _s_measure_single(pi, ti, wi, alpha))(
+        p, t, w)
+
+
+def _pool3(x: jnp.ndarray, size: int, op: str) -> jnp.ndarray:
+    """Same-padded (size x size) min/max pool over the trailing 2 dims of
+    an (N, H, W) f32 tensor."""
+    init = -jnp.inf if op == "max" else jnp.inf
+    fn = jax.lax.max if op == "max" else jax.lax.min
+    return jax.lax.reduce_window(
+        x, init, fn, (1, size, size), (1, 1, 1),
+        [(0, 0), (size // 2, size // 2), (size // 2, size // 2)])
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "rho", "beta2"))
+def boundary_f_measure(pred: jnp.ndarray, target: jnp.ndarray,
+                       valid: jnp.ndarray | None = None,
+                       threshold: float = 0.5, rho: int = 3,
+                       beta2: float = 0.3) -> jnp.ndarray:
+    """Per-image relaxed boundary F-measure — (N,) f32.
+
+    The boundary-quality metric of the BASNet line (the model family the
+    reference's saliency branch follows): binarize at ``threshold``,
+    extract one-pixel boundaries (fg minus its 3x3 erosion, borders count
+    as boundary), then relaxed precision = fraction of predicted-boundary
+    pixels within ``rho`` of a GT-boundary pixel (maxpool dilation of the
+    GT boundary with a (2*rho+1) window) and symmetrically for recall.
+    Both-empty boundaries score 1 (nothing to delineate, nothing wrong);
+    one-sided-empty scores 0. Reported at the fixed binarization rather
+    than a 255-threshold sweep — the sweep's (T, N, H, W) erosions are the
+    exact broadcast blowup the histogram metrics avoid.
+    """
+    p = (pred.astype(jnp.float32) > threshold).astype(jnp.float32)
+    t = (target.astype(jnp.float32) > 0.5).astype(jnp.float32)
+    if valid is not None:
+        w = valid.astype(jnp.float32)
+        p = p * w
+        t = t * w
+    # boundary = fg and not eroded(fg); outside-image counts as background,
+    # so foreground touching the border is boundary (oracle convention).
+    pb = p * (1.0 - _pool3(p, 3, "min"))
+    tb = t * (1.0 - _pool3(t, 3, "min"))
+    win = 2 * rho + 1
+    tb_near = _pool3(tb, win, "max")  # within rho of a GT boundary pixel
+    pb_near = _pool3(pb, win, "max")
+    n_pb = jnp.sum(pb, axis=(1, 2))
+    n_tb = jnp.sum(tb, axis=(1, 2))
+    prec = jnp.sum(pb * tb_near, axis=(1, 2)) / jnp.maximum(n_pb, _EPS)
+    rec = jnp.sum(tb * pb_near, axis=(1, 2)) / jnp.maximum(n_tb, _EPS)
+    f = ((1 + beta2) * prec * rec
+         / jnp.maximum(beta2 * prec + rec, _EPS))
+    both_empty = (n_pb == 0) & (n_tb == 0)
+    return jnp.where(both_empty, 1.0, f)

@@ -225,7 +225,12 @@ class Inferencer:
 
         size = cfg.model.image_size
 
-        from basi_tpu.evals.saliency import f_measure_hist
+        from basi_tpu.evals.saliency import (
+            boundary_f_measure,
+            e_measure_hist,
+            f_measure_hist,
+            s_measure,
+        )
         from basi_tpu.ops.resize import resize_bilinear
 
         def eval_batch(params, batch_stats, images_u8, gt_masks, gt_valid,
@@ -258,6 +263,13 @@ class Inferencer:
             mae_per = jnp.sum(jnp.abs(prob_full - union) * content,
                               axis=(1, 2)) / area
             f_mat = f_measure_hist(prob_full, union, valid=content)  # (T-1, N)
+            # Full SOD metric suite (BASNet-line papers report S/E/boundary-F
+            # next to MAE/max-F): E rides the SAME histogram counts as F,
+            # S is the mask-quadrant structure measure, boundary-F the
+            # rho-tolerant boundary match — all content-masked, all device.
+            e_mat = e_measure_hist(prob_full, union, valid=content)  # (T-1, N)
+            s_per = s_measure(prob_full, union, valid=content)  # (N,)
+            bf_per = boundary_f_measure(prob_full, union, valid=content)
             # The PNG path reuses ``full`` (already computed for the IoU
             # matrix) rather than re-running the upsample — but returning
             # the (N, K, size, size) tensor keeps it live in HBM for up to
@@ -270,7 +282,8 @@ class Inferencer:
             # needs the GLOBAL validity flags — the replicated output is
             # the all_gather that provides them (and the single-host path
             # uses the same fetch for uniformity).
-            return masks, scores, iou, mae_per, f_mat, gt_valid, full_out
+            return (masks, scores, iou, mae_per, f_mat, e_mat, s_per,
+                    bf_per, gt_valid, full_out)
 
         if self.mesh is None:
             self._eval_batch = jax.jit(eval_batch)
@@ -626,6 +639,9 @@ class Inferencer:
         n_batches = 0
         sal_mae_sum = 0.0
         f_sum = None  # (T,) running sum of per-image F curves
+        e_sum = None  # (T,) running sum of per-image E curves
+        s_sum = 0.0  # running sum of per-image S-measure
+        bf_sum = 0.0  # running sum of per-image boundary-F
         # Bounded-lag pipeline: dispatch up to ``lag`` batches ahead of the
         # fetch cursor. Per-batch sync would pay the ~30 ms relay round trip
         # every iteration (bench.py note); unbounded dispatch (round 1) held
@@ -643,24 +659,28 @@ class Inferencer:
 
         def drain_one():
             nonlocal n_img, n_batches, sal_mae_sum, f_sum, png_ms
-            nonlocal t_steady, png_at_steady
-            bi, batch, scores, iou, mae_per, f_mat, gt_valid, full = (
-                pending.popleft())
+            nonlocal t_steady, png_at_steady, e_sum, s_sum, bf_sum
+            (bi, batch, scores, iou, mae_per, f_mat, e_mat, s_per, bf_per,
+             gt_valid, full) = pending.popleft()
             # ONE batched fetch: each device_get pays a full relay round
             # trip (~25-30 ms on axon, bench.py note) — sequential fetches
             # were as many round trips on the timed path.
-            scores_h, iou_h, mae_h, f_h, valid_h = (
+            scores_h, iou_h, mae_h, f_h, e_h, s_h, bf_h, valid_h = (
                 np.asarray(x)
                 for x in jax.device_get((scores, iou, mae_per, f_mat,
-                                         gt_valid)))
+                                         e_mat, s_per, bf_per, gt_valid)))
             nreal = int(batch["num_real"])
             for i in range(nreal):  # padded tail duplicates are skipped
                 acc.add(scores_h[i], iou_h[i], valid_h[i])
             n_img += nreal
             n_batches += 1
             sal_mae_sum += float(mae_h[:nreal].sum())
+            s_sum += float(s_h[:nreal].sum())
+            bf_sum += float(bf_h[:nreal].sum())
             fs = f_h[:, :nreal].sum(axis=1)
             f_sum = fs if f_sum is None else f_sum + fs
+            es = e_h[:, :nreal].sum(axis=1)
+            e_sum = es if e_sum is None else e_sum + es
             if save_png or results_path:
                 # PNG/RLE paste+encode is postproc I/O; keep it out of the
                 # reported inference latency (timed separately below).
@@ -698,11 +718,11 @@ class Inferencer:
                 if max_batches and bi >= max_batches:
                     break
                 images, gmasks, gvalid, gvalid_hw = to_device_args(batch)
-                masks, scores, iou, mae_per, f_mat, gt_valid, full = (
-                    self._eval_batch(
-                        self.params, self.batch_stats, images,
-                        gmasks, gvalid, gvalid_hw,
-                    ))
+                (masks, scores, iou, mae_per, f_mat, e_mat, s_per, bf_per,
+                 gt_valid, full) = self._eval_batch(
+                    self.params, self.batch_stats, images,
+                    gmasks, gvalid, gvalid_hw,
+                )
                 if results_path and full.ndim == 0:
                     # The fused eval program ships full-res masks only for
                     # the PNG/orig-AP configs (HBM: the tensor stays live
@@ -716,7 +736,7 @@ class Inferencer:
                     # (async dispatch; joins the same pipelined drain).
                     iou = self._orig_frame_iou(full, batch, dataset)
                 pending.append((bi, batch, scores, iou, mae_per, f_mat,
-                                gt_valid, full))
+                                e_mat, s_per, bf_per, gt_valid, full))
                 while len(pending) > lag:
                     drain_one()
             while pending:
@@ -729,6 +749,12 @@ class Inferencer:
         if n_img:
             metrics["saliency_mae"] = round(sal_mae_sum / n_img, 4)
             metrics["saliency_maxF"] = round(float(np.max(f_sum / n_img)), 4)
+            # dataset-level max-E: per-image E averaged over the set, then
+            # maxed over thresholds (same convention as max-F); S and
+            # boundary-F are per-image means.
+            metrics["saliency_maxE"] = round(float(np.max(e_sum / n_img)), 4)
+            metrics["saliency_S"] = round(s_sum / n_img, 4)
+            metrics["saliency_boundaryF"] = round(bf_sum / n_img, 4)
         if n_batches > 1:
             per_batch = (steady_ms - (png_ms - png_at_steady)) / (n_batches - 1)
             metrics["infer_ms_per_batch"] = round(per_batch, 2)
