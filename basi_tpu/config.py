@@ -127,10 +127,13 @@ class InferConfig:
     pre_nms_top_k: int = 64
     output_dir: str = "./out"
     save_png: bool = False
-    # Match AP at ORIGINAL image resolution (the reference's protocol:
+    # Evaluate at ORIGINAL image resolution (the reference's protocol:
     # paste predictions to original size, then evaluate) instead of inside
-    # the 512^2 letterbox frame. Needs original-resolution GT from the
-    # dataset (FolderDataset/SyntheticDataset provide get_orig_masks).
+    # the 512^2 letterbox frame. Applies to the WHOLE metric set: AP
+    # matching IoU and the saliency suite (MAE/max-F/max-E/S/boundary-F)
+    # are all recomputed against native-resolution GT on the paste canvas.
+    # Needs original-resolution GT from the dataset
+    # (FolderDataset/SyntheticDataset provide get_orig_masks).
     ap_at_original: bool = False
     # bfloat16 | float32 | int8. int8 = dynamic post-training quantization
     # (ops/quant.py): convs run s8xs8->s32 on the MXU (per-channel weight

@@ -274,16 +274,21 @@ class Inferencer:
             # matrix) rather than re-running the upsample — but returning
             # the (N, K, size, size) tensor keeps it live in HBM for up to
             # ``lag`` batches, so only ship it when PNGs are requested.
-            want_full = icfg.save_png or getattr(icfg, "ap_at_original",
-                                                 False)
+            ap_orig = getattr(icfg, "ap_at_original", False)
+            want_full = icfg.save_png or ap_orig
             full_out = full if want_full else jnp.zeros((), full.dtype)
+            # Original-frame eval pastes the saliency prob map to the
+            # native canvas too (the reference's SOD geometry); ship it
+            # only for that config — like ``full`` it would otherwise sit
+            # in HBM for up to ``lag`` batches for nothing.
+            sal_out = prob_full if ap_orig else jnp.zeros((), prob_full.dtype)
             # gt_valid rides back as an output: on a multi-host mesh each
             # process decodes only its own rows, but host AP accumulation
             # needs the GLOBAL validity flags — the replicated output is
             # the all_gather that provides them (and the single-host path
             # uses the same fetch for uniformity).
             return (masks, scores, iou, mae_per, f_mat, e_mat, s_per,
-                    bf_per, gt_valid, full_out)
+                    bf_per, gt_valid, full_out, sal_out)
 
         if self.mesh is None:
             self._eval_batch = jax.jit(eval_batch)
@@ -306,32 +311,65 @@ class Inferencer:
         # (a fresh jax.jit wrapper per call would re-trace every batch).
         self._full_fn = jax.jit(self._to_full_res)
 
-    def _orig_iou_fn(self, canvas_hw: tuple[int, int]):
-        """One jitted paste+IoU program per canvas bucket (static shapes;
-        reused across batches sharing the bucket, like the PNG path)."""
+    def _orig_eval_fn(self, canvas_hw: tuple[int, int]):
+        """One jitted paste+IoU+SOD program per canvas bucket (static
+        shapes; reused across batches sharing the bucket, like the PNG
+        path). Besides the matching IoU it recomputes the whole saliency
+        metric suite at the native frame: the prob map is pasted (K=1
+        slot) onto the canvas and scored against the native GT union over
+        the per-image original extent — the same content-masking idea as
+        the letterbox path, with the extent replacing the letterbox
+        region."""
         cached = self._orig_iou_cache.get(canvas_hw)
         if cached is not None:
             return cached
         thr = self.cfg.infer.mask_threshold
+        from basi_tpu.evals.saliency import (
+            boundary_f_measure,
+            e_measure_hist,
+            f_measure_hist,
+            s_measure,
+        )
         from basi_tpu.ops.paste import paste_masks_batch
 
+        ch, cw = canvas_hw
+
         @jax.jit
-        def _fn(full, valid_hw, orig_hw, gt_canvas):
+        def _fn(full, sal, valid_hw, orig_hw, gt_canvas, gt_valid):
             pasted = paste_masks_batch(full, valid_hw, canvas_hw, orig_hw)
             pm = (pasted > thr).astype(jnp.float32)
             gm = gt_canvas.astype(jnp.float32)
-            return jax.vmap(mask_iou_matrix)(pm, gm)
+            iou = jax.vmap(mask_iou_matrix)(pm, gm)
+            sal_c = paste_masks_batch(
+                sal[:, None], valid_hw, canvas_hw, orig_hw)[:, 0]
+            gv = gt_valid.astype(jnp.float32)
+            union = jnp.max(gm * gv[..., None, None], axis=1)
+            rows = (jnp.arange(ch)[None, :, None]
+                    < orig_hw[:, 0][:, None, None])
+            cols = (jnp.arange(cw)[None, None, :]
+                    < orig_hw[:, 1][:, None, None])
+            extent = (rows & cols).astype(jnp.float32)  # (N, ch, cw)
+            area = jnp.maximum(jnp.sum(extent, axis=(1, 2)), 1.0)
+            mae_per = jnp.sum(jnp.abs(sal_c - union) * extent,
+                              axis=(1, 2)) / area
+            f_mat = f_measure_hist(sal_c, union, valid=extent)
+            e_mat = e_measure_hist(sal_c, union, valid=extent)
+            s_per = s_measure(sal_c, union, valid=extent)
+            bf_per = boundary_f_measure(sal_c, union, valid=extent)
+            return iou, mae_per, f_mat, e_mat, s_per, bf_per
 
         self._orig_iou_cache[canvas_hw] = _fn
         return _fn
 
-    def _orig_frame_iou(self, full, batch, dataset):
-        """Original-resolution matching (SURVEY §3.2/§3.5: the reference
-        pastes to original size, THEN evaluates): predictions letterbox-
-        inverted onto a static canvas bucket, matched against native-
-        resolution GT read from the dataset. IoU after bilinear
-        letterboxing != IoU at original resolution for any non-square
-        image — this path restores the reference's geometry."""
+    def _orig_frame_eval(self, full, sal, batch, dataset):
+        """Original-resolution eval (SURVEY §3.2/§3.5: the reference
+        pastes to original size, THEN evaluates): predictions AND the
+        saliency prob map letterbox-inverted onto a static canvas bucket,
+        matched/scored against native-resolution GT read from the
+        dataset. IoU (or MAE/F/E/S) after bilinear letterboxing != the
+        same metric at original resolution for any non-square image —
+        this path restores the reference's geometry for the whole metric
+        set. Returns (iou, mae, f_mat, e_mat, s, bf)."""
         import warnings
 
         size = self.cfg.model.image_size
@@ -351,9 +389,10 @@ class Inferencer:
             masks, _ = dataset.get_orig_masks(int(gi))
             hh, ww = min(masks.shape[1], ch), min(masks.shape[2], cw)
             gt[j, :, :hh, :ww] = masks[:, :hh, :ww]
-        return self._orig_iou_fn((ch, cw))(
-            full, jnp.asarray(batch["valid_hw"]),
-            jnp.asarray(batch["orig_hw"]), jnp.asarray(gt))
+        return self._orig_eval_fn((ch, cw))(
+            full, sal, jnp.asarray(batch["valid_hw"]),
+            jnp.asarray(batch["orig_hw"]), jnp.asarray(gt),
+            jnp.asarray(batch["valid"]))
 
     def _to_full_res(self, probs: jnp.ndarray):
         """Upsample slot-mask PROBS to model input resolution (fused kernel,
@@ -719,7 +758,7 @@ class Inferencer:
                     break
                 images, gmasks, gvalid, gvalid_hw = to_device_args(batch)
                 (masks, scores, iou, mae_per, f_mat, e_mat, s_per, bf_per,
-                 gt_valid, full) = self._eval_batch(
+                 gt_valid, full, sal_full) = self._eval_batch(
                     self.params, self.batch_stats, images,
                     gmasks, gvalid, gvalid_hw,
                 )
@@ -732,9 +771,12 @@ class Inferencer:
                     full = self._full_fn(masks)
                 del masks  # full-res ``full`` supersedes it in the drain
                 if ap_orig:
-                    # Swap the letterbox-frame IoU for original-frame IoU
-                    # (async dispatch; joins the same pipelined drain).
-                    iou = self._orig_frame_iou(full, batch, dataset)
+                    # Swap the letterbox-frame metrics for original-frame
+                    # ones — matching IoU AND the saliency suite — (async
+                    # dispatch; joins the same pipelined drain).
+                    (iou, mae_per, f_mat, e_mat, s_per,
+                     bf_per) = self._orig_frame_eval(full, sal_full, batch,
+                                                     dataset)
                 pending.append((bi, batch, scores, iou, mae_per, f_mat,
                                 e_mat, s_per, bf_per, gt_valid, full))
                 while len(pending) > lag:

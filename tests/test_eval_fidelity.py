@@ -86,7 +86,7 @@ def test_eval_batch_uses_full_res_matching():
     inf = _make_inferencer(2)
     ds = SyntheticDataset(n=2, image_size=64, max_instances=2, seed=3)
     batch = next(iter_epoch(ds, 2, shuffle=False, seed=0, drop_last=False))
-    masks, scores, iou, mae_per, f_mat, _, _, _, _, _ = inf._eval_batch(
+    masks, scores, iou, mae_per, f_mat, _, _, _, _, _, _ = inf._eval_batch(
         inf.params, inf.batch_stats, batch["image"],
         jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]),
         jnp.asarray(batch["valid_hw"]))

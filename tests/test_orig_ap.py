@@ -56,7 +56,8 @@ def test_orig_frame_iou_diverges_on_nonsquare_originals():
 
     lb = np.asarray(jax.vmap(mask_iou_matrix)(
         full, jnp.asarray(batch["masks"], jnp.float32)))
-    orig = np.asarray(inf._orig_frame_iou(full, batch, ds))
+    sal0 = jnp.zeros((4,) + full.shape[2:], jnp.float32)
+    orig = np.asarray(inf._orig_frame_eval(full, sal0, batch, ds)[0])
     assert lb.shape == orig.shape
 
     diag_lb, diag_orig = [], []
