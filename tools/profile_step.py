@@ -18,7 +18,12 @@ import argparse
 import collections
 import glob
 import os
+import sys
 import tempfile
+
+# Runnable as `python tools/profile_step.py` from anywhere: sys.path[0] is
+# tools/, so put the repo root ahead of it for the basi_tpu import.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _trace_train(cfg, steps: int, trace_dir: str):
@@ -112,27 +117,31 @@ def summarize(trace_dir: str, steps: int, top: int = 30):
         if "TPU" not in plane.name and "Device" not in plane.name:
             continue
         meta = plane.event_metadata
-        per_op = collections.Counter()
-        occur = collections.Counter()
-        total_ps = 0
+        # Events on ONE line are serialized; different lines overlap (compute
+        # vs async copy engines). Summing across lines double-counts copy
+        # windows that hide under compute, so report each line separately.
         for line in plane.lines:
             lname = line.name.lower()
             # op-level lines only; skip step/module aggregates
             if "step" in lname or "module" in lname:
                 continue
+            per_op = collections.Counter()
+            occur = collections.Counter()
+            total_ps = 0
             for ev in line.events:
                 name = meta[ev.metadata_id].name
                 per_op[name] += ev.duration_ps
                 occur[name] += 1
                 total_ps += ev.duration_ps
-        if not per_op:
-            continue
-        print(f"\n== plane {plane.name}: {total_ps / 1e9 / steps:.3f} "
-              f"ms/step device time over {steps} steps ==")
-        for name, ps in per_op.most_common(top):
-            print(f"  {ps / 1e9 / steps:8.4f} ms/step  x{occur[name]:<5d} "
-                  f"{name[:110]}")
-        rows.append((plane.name, total_ps))
+            if not per_op:
+                continue
+            print(f"\n== plane {plane.name} / line '{line.name}': "
+                  f"{total_ps / 1e9 / steps:.3f} ms/step over {steps} steps "
+                  f"({len(line.events)} events) ==")
+            for name, ps in per_op.most_common(top):
+                print(f"  {ps / 1e9 / steps:8.4f} ms/step  x{occur[name]:<5d} "
+                      f"{name[:110]}")
+            rows.append((f"{plane.name}/{line.name}", total_ps))
     return rows
 
 
