@@ -140,6 +140,16 @@ class InferConfig:
     # scales, per-tensor dynamic activation scales, no calibration set),
     # everything else runs bf16. Checkpoints load unchanged.
     dtype: str = "bfloat16"
+    # Test-time augmentation (quality-over-speed eval mode): "" = off,
+    # "hflip" = ensemble the horizontally-flipped view of every scale.
+    # Outputs are realigned analytically (mask features W-flipped back,
+    # cell grid mirror-indexed, saliency flipped) and averaged in
+    # probability space; selection/NMS then runs ONCE on the ensemble.
+    tta: str = ""
+    # Extra TTA scales ensembled alongside 1.0, as fractions of
+    # model.image_size (rounded to a multiple of 32), e.g. (0.75, 1.25).
+    # Each scale adds one forward pass at that resolution (x2 with hflip).
+    tta_scales: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -159,8 +159,117 @@ class Inferencer:
                 f"model.instance_mechanism={mechanism!r} "
                 f"(expected 'kernels' or 'connected')")
 
+        tta_flip = icfg.tta == "hflip"
+        if icfg.tta not in ("", "hflip"):
+            raise ValueError(
+                f"infer.tta={icfg.tta!r} (expected '' or 'hflip')")
+        tta_scales = tuple(getattr(icfg, "tta_scales", ()) or ())
+        tta_on = tta_flip or bool(tta_scales)
+
+        def apply_model(variables, x):
+            if self._quant:
+                from basi_tpu.ops.quant import quantized_convs
+
+                with quantized_convs():  # active during jit TRACING
+                    return model.apply(variables, x, train=False,
+                                       with_candidates=False)
+            return model.apply(variables, x, train=False,
+                               with_candidates=False)
+
+        def run_tta(params, batch_stats, images_u8):
+            """TTA ensemble (infer.tta / infer.tta_scales): one forward per
+            view, outputs realigned to the original geometry, averaged in
+            probability space, then ONE selection/NMS pass. The cell grid is
+            a fixed S x S partition of the image, so cell (i, j) of an
+            hflipped view is cell (i, S-1-j) of the original, and cells of a
+            scaled view coincide with the original's — mask features carry
+            all the resolution differences (resized inside the selection
+            op). Quality mode: the packed-s2d ingest fast path is bypassed
+            (views need the raw image) — each view pays the full forward."""
+            from basi_tpu.models.resnet import depth_to_space
+            from basi_tpu.ops.resize import resize_bilinear
+
+            x = images_u8
+            if x.shape[-1] != 3:
+                x = depth_to_space(x, 2)  # host-packed feed -> raw bytes
+            x = x.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+            x = x.astype(compute_dtype)
+            base4 = (x.shape[1] // 4, x.shape[2] // 4)
+            views = []  # (image, was_flipped)
+            for s in (1.0,) + tta_scales:
+                if s == 1.0:
+                    xs = x
+                else:
+                    # Multiple of 32 keeps every FPN level and the s2d stem
+                    # on even sizes (stride-32 pyramid).
+                    hw = (max(32, int(round(x.shape[1] * s / 32)) * 32),
+                          max(32, int(round(x.shape[2] * s / 32)) * 32))
+                    xs = resize_bilinear(x, hw)
+                for flip in (False, True) if tta_flip else (False,):
+                    views.append((jnp.flip(xs, axis=2) if flip else xs, flip))
+
+            variables = {"params": params, "batch_stats": batch_stats}
+            feats_v, kerns_v, scores_v, sal_sum = [], [], [], None
+            for xv, flipped in views:
+                if stem_s2d:
+                    xv = space_to_depth(xv, 2)
+                out = apply_model(variables, xv)
+                mf = out.mask_feats
+                sal = jax.nn.sigmoid(out.saliency_logits.astype(jnp.float32))
+                ck, cs = out.cell_kernels, out.cell_scores
+                if flipped:
+                    mf = jnp.flip(mf, axis=2)
+                    sal = jnp.flip(sal, axis=2)
+                    ck = jnp.flip(ck, axis=2)  # mirror the cell grid's W axis
+                    cs = jnp.flip(cs, axis=2)
+                if sal.shape[1:3] != base4:
+                    sal = resize_bilinear(sal, base4)
+                n, s1, s2, e = ck.shape
+                feats_v.append(mf)
+                kerns_v.append(ck.reshape(n, s1 * s2, e))
+                scores_v.append(cs.reshape(n, s1 * s2))
+                sal_sum = sal if sal_sum is None else sal_sum + sal
+            sal_prob = sal_sum / len(views)
+            # Downstream consumers take logits (they sigmoid in f32), so
+            # hand back logit(mean prob) — monotone in the ensemble prob.
+            p = jnp.clip(sal_prob, 1e-6, 1.0 - 1e-6)
+            sal_logits = (jnp.log(p) - jnp.log1p(-p)).astype(compute_dtype)
+
+            if mechanism == "connected":
+                from basi_tpu.ops.connected import extract_instances
+
+                masks, scores = jax.vmap(
+                    lambda sp: extract_instances(
+                        sp, num_slots=cfg.model.num_slots,
+                        threshold=icfg.mask_threshold,
+                    )
+                )(sal_prob[..., 0])
+                keep = scores >= icfg.score_threshold
+                scores = jnp.where(keep, scores, 0.0)
+                masks = masks * keep[..., None, None].astype(masks.dtype)
+                return masks, scores, sal_logits
+
+            from basi_tpu.ops.nms import select_instances_from_kernel_views
+
+            masks, scores = jax.vmap(
+                lambda fv, kv, sv: select_instances_from_kernel_views(
+                    fv, kv, sv, base_hw=base4,
+                    num_slots=cfg.model.num_slots,
+                    score_threshold=icfg.score_threshold,
+                    mask_threshold=icfg.mask_threshold,
+                    nms=icfg.nms,
+                    nms_sigma=icfg.nms_sigma,
+                    nms_iou_threshold=icfg.nms_iou_threshold,
+                    pre_top_k=icfg.pre_nms_top_k,
+                )
+            )(tuple(feats_v), tuple(kerns_v), tuple(scores_v))
+            return masks, scores, sal_logits
+
         @jax.jit
         def run(params, batch_stats, images_u8):
+            if tta_on:
+                return run_tta(params, batch_stats, images_u8)
             x = images_u8
             if stem_s2d and x.shape[-1] == 3:
                 # The barrier pins the transpose to the uint8 bytes: without
@@ -176,15 +285,7 @@ class Inferencer:
                 jnp.asarray(std), reps)
             x = x.astype(compute_dtype)
             variables = {"params": params, "batch_stats": batch_stats}
-            if self._quant:
-                from basi_tpu.ops.quant import quantized_convs
-
-                with quantized_convs():  # active during jit TRACING
-                    out = model.apply(variables, x, train=False,
-                                      with_candidates=False)
-            else:
-                out = model.apply(variables, x, train=False,
-                                  with_candidates=False)
+            out = apply_model(variables, x)
             if mechanism == "connected":
                 # SURVEY §2.8 swap hedge: instances = connected components
                 # of the thresholded saliency map, packed into the SAME

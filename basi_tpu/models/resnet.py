@@ -157,6 +157,19 @@ def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return x.reshape(n, h // block, w // block, block * block * c)
 
 
+def depth_to_space(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """Exact inverse of ``space_to_depth``: (N, H/b, W/b, b*b*C) -> (N, H, W, C).
+
+    Used by TTA inference to recover the raw image from a host-packed s2d
+    feed before building flipped/scaled views (the packed fast path only
+    covers the identity view)."""
+    n, h, w, cb = x.shape
+    c = cb // (block * block)
+    x = x.reshape(n, h, w, block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * block, w * block, c)
+
+
 def s2d_stem_kernel(k7: jnp.ndarray) -> jnp.ndarray:
     """Rewrite a (7, 7, C, O) stride-2 stem kernel for space-to-depth input.
 

@@ -143,15 +143,72 @@ def select_instances_from_kernels(
     )
 
 
+def select_instances_from_kernel_views(
+    mask_feats_views,
+    kernels_views,
+    cell_scores_views,
+    base_hw: tuple,
+    num_slots: int = 20,
+    score_threshold: float = 0.1,
+    mask_threshold: float = 0.5,
+    nms: str = "matrix",
+    nms_sigma: float = 2.0,
+    nms_iou_threshold: float = 0.5,
+    pre_top_k: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Test-time-augmentation variant of ``select_instances_from_kernels``.
+
+    Each "view" is one forward pass (original / hflip / scale), with its
+    outputs already REALIGNED to the original geometry by the caller
+    (mask features W-flipped back, kernels/scores re-indexed to mirrored
+    cells — the cell grid is a fixed S x S partition of the image, so the
+    same cell index refers to the same image region in every view; scale
+    views keep their native /4 resolution and are resized here). Views are
+    ensembled in probability space: mean objectness ranks the cells, each
+    surviving cell's mask probability is the mean of its per-view sigmoid
+    masks. A single-view call is exactly ``select_instances_from_kernels``.
+
+    mask_feats_views: sequence of (Hv, Wv, E); kernels_views: sequence of
+    (C, E); cell_scores_views: sequence of (C,); base_hw: output (H, W).
+    """
+    from basi_tpu.ops.resize import resize_bilinear
+
+    obj = sum(jax.nn.sigmoid(s.astype(jnp.float32))
+              for s in cell_scores_views) / len(cell_scores_views)
+    obj_scores, top_idx = jax.lax.top_k(obj, min(pre_top_k, obj.shape[0]))
+    probs = None
+    for feats, kernels in zip(mask_feats_views, kernels_views):
+        logits = jnp.einsum(
+            "hwe,ke->khw", feats, kernels[top_idx],
+            preferred_element_type=jnp.float32,
+        ).astype(feats.dtype)
+        p = jax.nn.sigmoid(logits)
+        if p.shape[1:] != tuple(base_hw):
+            p = resize_bilinear(p[..., None], tuple(base_hw))[..., 0]
+        probs = p if probs is None else probs + p
+    probs = probs / len(mask_feats_views)
+    return _select_from_probs(
+        probs, obj_scores, num_slots, score_threshold, mask_threshold,
+        nms, nms_sigma, nms_iou_threshold,
+    )
+
+
 def _select_from_logits(top_logits, obj_scores, num_slots, score_threshold,
                         mask_threshold, nms, nms_sigma, nms_iou_threshold):
+    return _select_from_probs(
+        jax.nn.sigmoid(top_logits), obj_scores, num_slots, score_threshold,
+        mask_threshold, nms, nms_sigma, nms_iou_threshold,
+    )
+
+
+def _select_from_probs(top_probs, obj_scores, num_slots, score_threshold,
+                       mask_threshold, nms, nms_sigma, nms_iou_threshold):
     """Shared tail: quality rescoring + NMS + slot packing (static shapes).
 
     Per-pixel tensors stay in the incoming compute dtype (bf16 under bf16
     inference — bandwidth, not precision, dominates here); all reductions
     and the scores accumulate/compare in f32.
     """
-    top_probs = jax.nn.sigmoid(top_logits)
     top_binary = (top_probs > mask_threshold).astype(top_probs.dtype)
     area = jnp.sum(top_binary, axis=(-2, -1), dtype=jnp.float32)
     quality = jnp.sum(top_probs * top_binary, axis=(-2, -1),
