@@ -140,6 +140,10 @@ class InferConfig:
     # scales, per-tensor dynamic activation scales, no calibration set),
     # everything else runs bf16. Checkpoints load unchanged.
     dtype: str = "bfloat16"
+    # Weighted F-measure (Margolin et al. CVPR 2014) on the eval path:
+    # the exact on-device distance transform costs ~2.5 ms/img at 512^2;
+    # false sheds it from the fused eval program.
+    wf: bool = True
     # Test-time augmentation (quality-over-speed eval mode): "" = off,
     # "hflip" = ensemble the horizontally-flipped view of every scale.
     # Outputs are realigned analytically (mask features W-flipped back,

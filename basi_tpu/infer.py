@@ -331,8 +331,11 @@ class Inferencer:
             e_measure_hist,
             f_measure_hist,
             s_measure,
+            weighted_f_measure,
         )
         from basi_tpu.ops.resize import resize_bilinear
+
+        use_wf = getattr(icfg, "wf", True)
 
         def eval_batch(params, batch_stats, images_u8, gt_masks, gt_valid,
                        valid_hw):
@@ -371,6 +374,10 @@ class Inferencer:
             e_mat = e_measure_hist(prob_full, union, valid=content)  # (T-1, N)
             s_per = s_measure(prob_full, union, valid=content)  # (N,)
             bf_per = boundary_f_measure(prob_full, union, valid=content)
+            # Weighted F (Margolin CVPR'14) costs ~2.5 ms/img at 512^2 (the
+            # exact on-device EDT) — infer.wf=false sheds it.
+            wf_per = (weighted_f_measure(prob_full, union, valid=content)
+                      if use_wf else jnp.zeros_like(s_per))
             # The PNG path reuses ``full`` (already computed for the IoU
             # matrix) rather than re-running the upsample — but returning
             # the (N, K, size, size) tensor keeps it live in HBM for up to
@@ -389,7 +396,7 @@ class Inferencer:
             # the all_gather that provides them (and the single-host path
             # uses the same fetch for uniformity).
             return (masks, scores, iou, mae_per, f_mat, e_mat, s_per,
-                    bf_per, gt_valid, full_out, sal_out)
+                    bf_per, wf_per, gt_valid, full_out, sal_out)
 
         if self.mesh is None:
             self._eval_batch = jax.jit(eval_batch)
@@ -425,11 +432,13 @@ class Inferencer:
         if cached is not None:
             return cached
         thr = self.cfg.infer.mask_threshold
+        use_wf = getattr(self.cfg.infer, "wf", True)
         from basi_tpu.evals.saliency import (
             boundary_f_measure,
             e_measure_hist,
             f_measure_hist,
             s_measure,
+            weighted_f_measure,
         )
         from basi_tpu.ops.paste import paste_masks_batch
 
@@ -457,7 +466,9 @@ class Inferencer:
             e_mat = e_measure_hist(sal_c, union, valid=extent)
             s_per = s_measure(sal_c, union, valid=extent)
             bf_per = boundary_f_measure(sal_c, union, valid=extent)
-            return iou, mae_per, f_mat, e_mat, s_per, bf_per
+            wf_per = (weighted_f_measure(sal_c, union, valid=extent)
+                      if use_wf else jnp.zeros_like(s_per))
+            return iou, mae_per, f_mat, e_mat, s_per, bf_per, wf_per
 
         self._orig_iou_cache[canvas_hw] = _fn
         return _fn
@@ -470,7 +481,7 @@ class Inferencer:
         dataset. IoU (or MAE/F/E/S) after bilinear letterboxing != the
         same metric at original resolution for any non-square image —
         this path restores the reference's geometry for the whole metric
-        set. Returns (iou, mae, f_mat, e_mat, s, bf)."""
+        set. Returns (iou, mae, f_mat, e_mat, s, bf, wf)."""
         import warnings
 
         size = self.cfg.model.image_size
@@ -782,6 +793,7 @@ class Inferencer:
         e_sum = None  # (T,) running sum of per-image E curves
         s_sum = 0.0  # running sum of per-image S-measure
         bf_sum = 0.0  # running sum of per-image boundary-F
+        wf_sum = 0.0  # running sum of per-image weighted-F
         # Bounded-lag pipeline: dispatch up to ``lag`` batches ahead of the
         # fetch cursor. Per-batch sync would pay the ~30 ms relay round trip
         # every iteration (bench.py note); unbounded dispatch (round 1) held
@@ -799,16 +811,17 @@ class Inferencer:
 
         def drain_one():
             nonlocal n_img, n_batches, sal_mae_sum, f_sum, png_ms
-            nonlocal t_steady, png_at_steady, e_sum, s_sum, bf_sum
+            nonlocal t_steady, png_at_steady, e_sum, s_sum, bf_sum, wf_sum
             (bi, batch, scores, iou, mae_per, f_mat, e_mat, s_per, bf_per,
-             gt_valid, full) = pending.popleft()
+             wf_per, gt_valid, full) = pending.popleft()
             # ONE batched fetch: each device_get pays a full relay round
             # trip (~25-30 ms on axon, bench.py note) — sequential fetches
             # were as many round trips on the timed path.
-            scores_h, iou_h, mae_h, f_h, e_h, s_h, bf_h, valid_h = (
+            scores_h, iou_h, mae_h, f_h, e_h, s_h, bf_h, wf_h, valid_h = (
                 np.asarray(x)
                 for x in jax.device_get((scores, iou, mae_per, f_mat,
-                                         e_mat, s_per, bf_per, gt_valid)))
+                                         e_mat, s_per, bf_per, wf_per,
+                                         gt_valid)))
             nreal = int(batch["num_real"])
             for i in range(nreal):  # padded tail duplicates are skipped
                 acc.add(scores_h[i], iou_h[i], valid_h[i])
@@ -817,6 +830,7 @@ class Inferencer:
             sal_mae_sum += float(mae_h[:nreal].sum())
             s_sum += float(s_h[:nreal].sum())
             bf_sum += float(bf_h[:nreal].sum())
+            wf_sum += float(wf_h[:nreal].sum())
             fs = f_h[:, :nreal].sum(axis=1)
             f_sum = fs if f_sum is None else f_sum + fs
             es = e_h[:, :nreal].sum(axis=1)
@@ -859,7 +873,7 @@ class Inferencer:
                     break
                 images, gmasks, gvalid, gvalid_hw = to_device_args(batch)
                 (masks, scores, iou, mae_per, f_mat, e_mat, s_per, bf_per,
-                 gt_valid, full, sal_full) = self._eval_batch(
+                 wf_per, gt_valid, full, sal_full) = self._eval_batch(
                     self.params, self.batch_stats, images,
                     gmasks, gvalid, gvalid_hw,
                 )
@@ -875,11 +889,12 @@ class Inferencer:
                     # Swap the letterbox-frame metrics for original-frame
                     # ones — matching IoU AND the saliency suite — (async
                     # dispatch; joins the same pipelined drain).
-                    (iou, mae_per, f_mat, e_mat, s_per,
-                     bf_per) = self._orig_frame_eval(full, sal_full, batch,
+                    (iou, mae_per, f_mat, e_mat, s_per, bf_per,
+                     wf_per) = self._orig_frame_eval(full, sal_full, batch,
                                                      dataset)
                 pending.append((bi, batch, scores, iou, mae_per, f_mat,
-                                e_mat, s_per, bf_per, gt_valid, full))
+                                e_mat, s_per, bf_per, wf_per, gt_valid,
+                                full))
                 while len(pending) > lag:
                     drain_one()
             while pending:
@@ -898,6 +913,8 @@ class Inferencer:
             metrics["saliency_maxE"] = round(float(np.max(e_sum / n_img)), 4)
             metrics["saliency_S"] = round(s_sum / n_img, 4)
             metrics["saliency_boundaryF"] = round(bf_sum / n_img, 4)
+            if getattr(cfg.infer, "wf", True):
+                metrics["saliency_wF"] = round(wf_sum / n_img, 4)
         if n_batches > 1:
             per_batch = (steady_ms - (png_ms - png_at_steady)) / (n_batches - 1)
             metrics["infer_ms_per_batch"] = round(per_batch, 2)

@@ -51,7 +51,8 @@ def test_ap_invariant_to_batch_size():
     m11 = _make_inferencer(11).evaluate(ds)  # single exact batch
     assert m3["num_images"] == m11["num_images"] == 11
     for key in ("AP@0.5", "AP@0.7", "mAP", "saliency_mae", "saliency_maxF",
-                "saliency_maxE", "saliency_S", "saliency_boundaryF"):
+                "saliency_maxE", "saliency_S", "saliency_boundaryF",
+                "saliency_wF"):
         assert abs(m3[key] - m11[key]) < 1e-6, (key, m3[key], m11[key])
     for key in ("saliency_maxE", "saliency_S", "saliency_boundaryF"):
         assert 0.0 <= m3[key] <= 1.0, (key, m3[key])
@@ -86,7 +87,7 @@ def test_eval_batch_uses_full_res_matching():
     inf = _make_inferencer(2)
     ds = SyntheticDataset(n=2, image_size=64, max_instances=2, seed=3)
     batch = next(iter_epoch(ds, 2, shuffle=False, seed=0, drop_last=False))
-    masks, scores, iou, mae_per, f_mat, _, _, _, _, _, _ = inf._eval_batch(
+    masks, scores, iou, mae_per, f_mat, *_ = inf._eval_batch(
         inf.params, inf.batch_stats, batch["image"],
         jnp.asarray(batch["masks"]), jnp.asarray(batch["valid"]),
         jnp.asarray(batch["valid_hw"]))

@@ -18,7 +18,7 @@ from basi_tpu.infer import Inferencer
 from helpers import tiny_config
 
 SAL_KEYS = ("saliency_mae", "saliency_maxF", "saliency_maxE",
-            "saliency_S", "saliency_boundaryF")
+            "saliency_S", "saliency_boundaryF", "saliency_wF")
 
 
 def test_orig_sod_metrics_end_to_end_nonsquare():
@@ -58,12 +58,13 @@ def test_orig_frame_eval_program_direct():
         batch["masks"].astype(np.float32)
         * batch["valid"][:, :, None, None].astype(np.float32), axis=1)
     out = inf._orig_frame_eval(full, jnp.asarray(union), batch, ds)
-    iou, mae_per, f_mat, e_mat, s_per, bf_per = (np.asarray(x) for x in out)
+    iou, mae_per, f_mat, e_mat, s_per, bf_per, wf_per = (
+        np.asarray(x) for x in out)
 
     n = 4
     assert iou.shape[0] == n and mae_per.shape == (n,)
     assert f_mat.shape == e_mat.shape and f_mat.shape[1] == n
-    assert s_per.shape == bf_per.shape == (n,)
+    assert s_per.shape == bf_per.shape == wf_per.shape == (n,)
     # letterbox-frame MAE of this prob map vs letterbox GT is exactly 0;
     # at native resolution the resample mismatch must show up...
     assert mae_per.max() > 1e-4, mae_per
@@ -88,7 +89,8 @@ def test_orig_sod_empty_gt_edge_case():
     full = jnp.asarray(batch["masks"].astype(np.float32))
     sal = jnp.zeros((4,) + batch["masks"].shape[2:], jnp.float32)
     out = inf._orig_frame_eval(full, sal, batch, ds)
-    _, mae_per, f_mat, e_mat, s_per, bf_per = (np.asarray(x) for x in out)
-    for arr in (mae_per, e_mat, s_per, bf_per):
+    _, mae_per, f_mat, e_mat, s_per, bf_per, wf_per = (
+        np.asarray(x) for x in out)
+    for arr in (mae_per, e_mat, s_per, bf_per, wf_per):
         assert np.all(np.isfinite(arr)), arr
         assert np.all((arr >= 0) & (arr <= 1 + 1e-6)), arr
