@@ -33,6 +33,9 @@ class ModelConfig:
     # behind the same (masks, scores) slot contract. Inference-time only;
     # training always supervises the kernel head.
     instance_mechanism: str = "kernels"  # kernels | connected
+    # BASNet-style residual refinement module on the fused saliency map
+    # (models/heads.py RefineHead): refined = coarse + RRM(sigmoid(coarse)).
+    refine: bool = False
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     param_dtype: str = "float32"
 

@@ -91,4 +91,18 @@ def import_basinet(
     inst["kernel"] = _conv_entry(sd, "instance.kernel")
     params["instance"] = inst
 
+    if any(k.startswith("refine.") for k in sd):  # optional RRM
+        ref: dict = {}
+        for key in sd:
+            if not key.startswith("refine.") or not key.endswith(".weight"):
+                continue
+            tname = key[len("refine."):-len(".weight")]
+            if tname.startswith("gn_"):
+                ref[tname] = _gn_entry(sd, f"refine.{tname}")
+            elif tname.startswith("conv_"):
+                ref[tname[len("conv_"):]] = _conv_entry(sd, f"refine.{tname}")
+            else:  # out
+                ref[tname] = _conv_entry(sd, f"refine.{tname}")
+        params["refine"] = ref
+
     return params, stats

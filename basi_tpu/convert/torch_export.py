@@ -106,4 +106,13 @@ def export_basinet(params: dict, batch_stats: dict,
             _put_norm(out, f"instance.{name}", entry)
         else:
             _put_conv(out, f"instance.{name}", entry)
+
+    if "refine" in params:  # optional BASNet-style RRM (model.refine)
+        for name, entry in params["refine"].items():
+            if name.startswith("gn_"):
+                _put_norm(out, f"refine.{name}", entry)
+            elif name == "out":
+                _put_conv(out, "refine.out", entry)
+            else:  # in / down{i} / bridge / up{i} -> conv_<name>
+                _put_conv(out, f"refine.conv_{name}", entry)
     return out

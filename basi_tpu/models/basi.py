@@ -19,6 +19,7 @@ from basi_tpu.models.fpn import FPNDecoder
 from basi_tpu.models.heads import (
     InstanceKernelHead,
     MaskFeatureHead,
+    RefineHead,
     SaliencyHead,
     candidate_masks,
 )
@@ -51,6 +52,10 @@ class BASINet(nn.Module):
     # its backward) from the train step. Set via train.freeze_bn.
     bn_frozen: bool = False
     stem_mode: str = "conv7"  # conv7 | s2d (bit-exact MXU-friendly stem)
+    # BASNet-style residual refinement of the fused saliency map (RRM):
+    # refined = coarse + RefineHead(sigmoid(coarse)). The coarse map joins
+    # the deep-supervision aux list in training.
+    refine: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -88,6 +93,15 @@ class BASINet(nn.Module):
         # would compute and discard 4 out-convs + full-res resizes).
         sal_logits, sal_aux = SaliencyHead(name="saliency", **kw)(
             pyramid, with_aux=train)
+        if self.refine:
+            coarse = sal_logits
+            prob = jax.nn.sigmoid(coarse.astype(jnp.float32)).astype(
+                coarse.dtype)
+            sal_logits = coarse + RefineHead(name="refine", **kw)(prob)
+            if train:
+                # Supervise the coarse map alongside the per-level aux so
+                # the RRM refines a signal that is itself trained.
+                sal_aux = list(sal_aux) + [coarse]
         mask_feats = MaskFeatureHead(
             embed_dim=self.mask_channels, name="maskfeat", **kw
         )(pyramid)
@@ -117,6 +131,7 @@ def create_model(cfg) -> BASINet:
         grid_size=cfg.grid_size,
         remat=getattr(cfg, "remat", False),
         stem_mode=getattr(cfg, "stem_mode", "conv7"),
+        refine=getattr(cfg, "refine", False),
         dtype=jnp.dtype(cfg.dtype),
         param_dtype=jnp.dtype(cfg.param_dtype),
     )

@@ -170,6 +170,53 @@ class InstanceKernelHead(nn.Module):
         return scores, kernels
 
 
+class RefineHead(nn.Module):
+    """BASNet-style residual refinement module (RRM) for the saliency map.
+
+    The "BASI" name points at BASNet (boundary-aware saliency), whose
+    signature block is a small encoder-decoder over the COARSE prediction
+    that emits a residual: refined = coarse + RRM(sigmoid(coarse)). This is
+    that module at the /4 map resolution: conv-in, ``depth`` strided
+    encoder levels (2x2 maxpool), a bridge, and a symmetric decoder with
+    concat skips and exact-semantics 2x bilinear upsamples, closed by a
+    near-zero-init 1-channel residual conv (so an untrained RRM is ~the
+    identity on logits). GroupNorm instead of BN keeps the module
+    batch-statistics-free (it refines per-image structure). Opt-in via
+    ``model.refine``.
+    """
+
+    channels: int = 64
+    depth: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, prob: jnp.ndarray) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        def block(x, name):
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        name=name, **kw)(x)
+            x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"gn_{name}")(x)
+            return nn.relu(x)
+
+        x = block(prob, "in")
+        skips = []
+        for i in range(self.depth):
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = block(x, f"down{i}")
+        x = block(x, "bridge")
+        for i in reversed(range(self.depth)):
+            hw = skips[i].shape[1:3]
+            x = resize_bilinear(x, hw)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+            x = block(x, f"up{i}")
+        return nn.Conv(1, (1, 1), kernel_init=_pred_kernel_init,
+                       name="out", **kw)(x)
+
+
 def candidate_masks(mask_feats: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     """Apply per-cell dynamic kernels to the unified mask features.
 

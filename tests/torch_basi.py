@@ -108,9 +108,42 @@ class InstanceKernelHead(nn.Module):
         return self.score(x), self.kernel(x)
 
 
+class RefineHead(nn.Module):
+    """Mirror of basi_tpu.models.heads.RefineHead (BASNet-style RRM)."""
+
+    def __init__(self, ch=64, depth=3):
+        super().__init__()
+        self.depth = depth
+        names = (["in"] + [f"down{i}" for i in range(depth)] + ["bridge"]
+                 + [f"up{i}" for i in range(depth)])
+        for n in names:
+            cin = (1 if n == "in" else 2 * ch if n.startswith("up") else ch)
+            setattr(self, f"conv_{n}", nn.Conv2d(cin, ch, 3, padding=1))
+            setattr(self, f"gn_{n}", nn.GroupNorm(8, ch))
+        self.out = nn.Conv2d(ch, 1, 1)
+
+    def _block(self, x, name):
+        return F.relu(getattr(self, f"gn_{name}")(
+            getattr(self, f"conv_{name}")(x)))
+
+    def forward(self, prob):
+        x = self._block(prob, "in")
+        skips = []
+        for i in range(self.depth):
+            skips.append(x)
+            x = F.max_pool2d(x, 2)
+            x = self._block(x, f"down{i}")
+        x = self._block(x, "bridge")
+        for i in reversed(range(self.depth)):
+            x = _resize(x, skips[i].shape[2:])
+            x = torch.cat([x, skips[i]], dim=1)
+            x = self._block(x, f"up{i}")
+        return self.out(x)
+
+
 class TorchBASINet(nn.Module):
     def __init__(self, stage_sizes=(3, 4, 6, 3), fpn_ch=256, mask_ch=64,
-                 grid=16, backbone="resnet"):
+                 grid=16, backbone="resnet", refine=False):
         super().__init__()
         if backbone == "vgg16":
             self.backbone = VGG16Features()
@@ -122,11 +155,14 @@ class TorchBASINet(nn.Module):
         self.saliency = SaliencyHead(fpn_ch, 64, 4)
         self.maskfeat = MaskFeatureHead(fpn_ch, 128, mask_ch, 4)
         self.instance = InstanceKernelHead(fpn_ch, 128, mask_ch, grid, 3)
+        self.refine = RefineHead(64, 3) if refine else None
 
     def forward(self, x):
         feats = self.backbone(x)
         pyramid = self.fpn(list(feats))
         sal, sal_aux = self.saliency(pyramid)
+        if self.refine is not None:
+            sal = sal + self.refine(torch.sigmoid(sal))
         mask_feats = self.maskfeat(pyramid)
         scores, kernels = self.instance(pyramid[1])
         n, e, s1, s2 = kernels.shape
