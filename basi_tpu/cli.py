@@ -177,6 +177,14 @@ def cmd_import(args) -> int:
     if args.what == "full":
         from basi_tpu.convert.full_import import import_basinet
 
+        has_refine = any(k.startswith("refine.") for k in sd)
+        if getattr(cfg.model, "refine", False) and not has_refine:
+            # Fail with the cause, not a missing-subtree error later when
+            # the refine=true model tries to load the exported params.
+            raise ValueError(
+                "model.refine=true but the torch checkpoint has no "
+                "refine.* keys — import with model.refine=false or use a "
+                "refine-trained checkpoint")
         params, stats = import_basinet(sd, stage_sizes,
                                        backbone=cfg.model.backbone)
     else:

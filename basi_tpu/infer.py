@@ -164,6 +164,9 @@ class Inferencer:
             raise ValueError(
                 f"infer.tta={icfg.tta!r} (expected '' or 'hflip')")
         tta_scales = tuple(getattr(icfg, "tta_scales", ()) or ())
+        if any(s <= 0 for s in tta_scales):
+            raise ValueError(f"infer.tta_scales must be positive, got "
+                             f"{tta_scales}")
         tta_on = tta_flip or bool(tta_scales)
 
         def apply_model(variables, x):

@@ -87,3 +87,24 @@ def test_local_rows_and_assembly_roundtrip():
     ref = jax.device_put(data, bsh)
     np.testing.assert_array_equal(np.asarray(arr), np.asarray(ref))
     assert arr.sharding == ref.sharding
+
+
+def test_dp_eval_with_tta_matches_single_device():
+    """TTA composes with the mesh-sharded eval program: views run
+    data-parallel under GSPMD and metrics stay bit-identical."""
+    cfg = tiny_config(batch_size=8)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, synthetic_n=16),
+        infer=dataclasses.replace(cfg.infer, tta="hflip"),
+    )
+    single = Inferencer(cfg)
+    m_single = single.evaluate()
+    dp = Inferencer(cfg, params=single.params,
+                    batch_stats=single.batch_stats, mesh=make_mesh(8, "data"))
+    m_dp = dp.evaluate()
+    want, got = _timing_stripped(m_single), _timing_stripped(m_dp)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=0, rtol=0,
+                                   err_msg=k)

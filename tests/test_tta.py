@@ -120,3 +120,21 @@ def test_tta_bad_value_rejected():
     cfg = _tta_cfg(tta="vflip")
     with pytest.raises(ValueError):
         Inferencer(cfg)
+
+
+def test_tta_composes_with_int8_quant():
+    cfg = _tta_cfg(tta="hflip")
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, tta="hflip", dtype="int8"))
+    inf = Inferencer(cfg)
+    masks, scores, sal = jax.device_get(
+        inf.run_fn(inf.params, inf.batch_stats, jnp.asarray(_images())))
+    assert np.isfinite(masks).all() and np.isfinite(scores).all()
+    assert np.isfinite(sal).all()
+
+
+def test_tta_rejects_nonpositive_scale():
+    import pytest
+
+    with pytest.raises(ValueError):
+        Inferencer(_tta_cfg(tta="", scales=(-0.5,)))
