@@ -15,7 +15,7 @@ from typing import Any
 
 @dataclass(frozen=True)
 class ModelConfig:
-    backbone: str = "resnet50"  # resnet50 | resnet101 | resnet152 | vgg16
+    backbone: str = "resnet50"  # resnet18/34/50/101/152 | vgg16
     fpn_channels: int = 256
     mask_channels: int = 64  # unified mask-feature embedding dim E
     grid_size: int = 16  # SxS instance cell grid (per level group)
@@ -42,7 +42,9 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"  # synthetic | ilso | soc | folder | coco
+    # shards = a `basi pack` decode-once cache of any of the others
+    # (data/shards.py; epochs stream at mmap speed instead of decode speed)
+    dataset: str = "synthetic"  # synthetic | ilso | soc | folder | coco | shards
     root: str = ""
     split: str = "train"
     # COCO only: explicit annotation JSON (default: root/annotations/
@@ -66,9 +68,17 @@ class DataConfig:
 class TrainConfig:
     epochs: int = 1
     steps_per_epoch: int = 32  # used when dataset is synthetic
+    # sgd reproduces the reference recipe (SURVEY §2.11); adamw is the
+    # modern fine-tuning alternative (optax.adamw, decoupled wd — momentum
+    # is ignored, betas (0.9, 0.999)).
+    optimizer: str = "sgd"  # sgd | adamw
     lr: float = 1e-2
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # poly reproduces the reference's lr*(1-iter/max_iter)^power decay;
+    # cosine anneals to 0 over max_steps; constant holds lr (all three
+    # respect warmup_steps as a linear ramp).
+    schedule: str = "poly"  # poly | cosine | constant
     poly_power: float = 0.9  # lr * (1 - iter/max_iter)^0.9 (SURVEY §2.11)
     warmup_steps: int = 0
     loss: str = "bce_dice"  # bce_dice | basnet_hybrid (BCE+SSIM+IoU)
@@ -88,6 +98,13 @@ class TrainConfig:
     # BN scale/bias stay trainable. Also removes BN's batch reduces (and
     # their backward) from the train step.
     freeze_bn: bool = False
+    # Exponential moving average of the params (0 = off). Updated once per
+    # optimizer step as ema = d*ema + (1-d)*params with the timm-style
+    # warmup ramp d_t = min(ema_decay, (1+t)/(10+t)) so early EMA tracks
+    # the fast-moving young weights instead of the random init. When on,
+    # per-epoch eval and `basi eval/infer` use the EMA weights (the usual
+    # reason to keep one); checkpoints carry both so resume is exact.
+    ema_decay: float = 0.0
     seed: int = 0
     checkpoint_dir: str = "./ckpt"
     checkpoint_every_steps: int = 0  # 0 -> per epoch

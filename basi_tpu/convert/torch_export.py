@@ -43,7 +43,10 @@ def export_resnet50_backbone(params: dict, stats: dict,
     out: dict = {}
     _put_conv(out, "conv1", params["stem"]["conv"])
     _put_norm(out, "bn1", params["stem"]["bn"], stats["stem"]["bn"])
+    # BasicBlock (resnet18/34) has no "c" conv — walk what the tree holds.
     sub = {"a": "1", "b": "2", "c": "3"}
+    if "c" not in params["layer1_0"]:
+        sub = {"a": "1", "b": "2"}
     for stage, blocks in enumerate(stage_sizes, start=1):
         for b in range(blocks):
             mod = f"layer{stage}_{b}"

@@ -53,7 +53,11 @@ def import_resnet50_backbone(
     params: dict = {}
     stats: dict = {}
     import_convbn(sd, "conv1", "bn1", params, stats, ["stem"])
-    sub = {"conv1": "a", "conv2": "b", "conv3": "c"}
+    # Block kind is self-describing: BasicBlock (resnet18/34) has no conv3.
+    if "layer1.0.conv3.weight" in sd:
+        sub = {"conv1": "a", "conv2": "b", "conv3": "c"}
+    else:
+        sub = {"conv1": "a", "conv2": "b"}
     for stage, blocks in enumerate(stage_sizes, start=1):
         for b in range(blocks):
             base = f"layer{stage}.{b}"

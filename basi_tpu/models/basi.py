@@ -68,11 +68,12 @@ class BASINet(nn.Module):
         (ops.nms.select_instances_from_kernels)."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         trunk_kwargs = dict(name="backbone", bn_axis=self.bn_axis, **kw)
-        from basi_tpu.models.resnet import STAGE_SIZES
+        from basi_tpu.models.resnet import BLOCK_KIND, STAGE_SIZES
 
-        if self.backbone in STAGE_SIZES:  # resnet50/101/152/_tiny
+        if self.backbone in STAGE_SIZES:  # resnet18/34/50/101/152/_tiny
             trunk_cls = ResNet50
             trunk_kwargs["stage_sizes"] = STAGE_SIZES[self.backbone]
+            trunk_kwargs["block"] = BLOCK_KIND.get(self.backbone, "bottleneck")
             trunk_kwargs["stem_mode"] = self.stem_mode
         elif self.backbone == "vgg16":
             trunk_cls = VGG16

@@ -18,14 +18,23 @@ import jax.numpy as jnp
 
 
 
-# Bottleneck-count presets, torchvision numbering. Depths beyond 50 reuse
-# the same block/stem modules, so torch imports work for all of them
-# (convert.torch_import is stage-size-parameterized).
+# Block-count presets, torchvision numbering. All depths reuse the same
+# stem/ConvBN modules, so torch imports work for every family member
+# (convert.torch_import is stage-size-parameterized and block-kind aware).
 STAGE_SIZES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet152": (3, 8, 36, 3),
     "resnet_tiny": (1, 1, 1, 1),  # 1-block stages, for fast tests
+}
+
+# 18/34 use the two-conv BasicBlock (C2..C5 = 64/128/256/512 channels);
+# everything else the 4x-expanding Bottleneck (256/512/1024/2048).
+BLOCK_KIND = {
+    "resnet18": "basic",
+    "resnet34": "basic",
 }
 
 
@@ -89,6 +98,34 @@ class Bottleneck(nn.Module):
             residual = ConvBN(self.features * 4, 1, self.stride, name="proj", **kw)(
                 x, train
             )
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block (ResNet-18/34), torchvision semantics.
+
+    Sub-module names match Bottleneck's ("a"/"b"/"proj") so the torch
+    importer/exporter share one layer-walk for both block kinds
+    (torchvision conv1/bn1 -> a, conv2/bn2 -> b, downsample -> proj)."""
+
+    features: int  # output channels (no expansion)
+    stride: int = 1
+    project: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_axis=self.bn_axis)
+        residual = x
+        y = ConvBN(self.features, 3, self.stride, name="a", **kw)(x, train)
+        y = nn.relu(y)
+        y = ConvBN(self.features, 3, 1, name="b", **kw)(y, train)
+        if self.project:
+            residual = ConvBN(self.features, 1, self.stride, name="proj",
+                              **kw)(x, train)
         return nn.relu(y + residual)
 
 
@@ -199,6 +236,7 @@ class ResNet50(nn.Module):
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block: str = "bottleneck"  # bottleneck | basic (resnet18/34)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None
@@ -222,14 +260,20 @@ class ResNet50(nn.Module):
         # route it here without re-measuring embedded.
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = BasicBlock if self.block == "basic" else Bottleneck
         feats = []
         widths = (64, 128, 256, 512)
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
             stride = 1 if stage == 0 else 2
-            x = Bottleneck(
-                width, stride=stride, project=True, name=f"layer{stage + 1}_0", **kw
+            # torchvision projects iff the shortcut shape changes: always
+            # for Bottleneck (4x expansion), but BasicBlock's layer1 is
+            # identity (64 -> 64, stride 1).
+            project = self.block != "basic" or stage != 0
+            x = block_cls(
+                width, stride=stride, project=project,
+                name=f"layer{stage + 1}_0", **kw
             )(x, train)
             for blk in range(1, blocks):
-                x = Bottleneck(width, name=f"layer{stage + 1}_{blk}", **kw)(x, train)
+                x = block_cls(width, name=f"layer{stage + 1}_{blk}", **kw)(x, train)
             feats.append(x)
         return tuple(feats)  # C2, C3, C4, C5

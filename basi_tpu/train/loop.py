@@ -265,9 +265,16 @@ class Trainer:
                 last_metrics.update(eval_metrics)
         return last_metrics
 
-    def evaluate(self, max_batches: int = 0) -> dict:
+    def evaluate(self, max_batches: int = 0, use_ema: bool | None = None) -> dict:
         from basi_tpu.infer import Inferencer
 
+        # EMA weights (train.ema_decay > 0) are the eval weights by
+        # default — keeping a smoothed copy and then evaluating the raw
+        # one would defeat its purpose. Batch stats stay the live running
+        # statistics (they are already an EMA by construction).
+        if use_ema is None:
+            use_ema = self.state.ema_params is not None
+        params = self.state.ema_params if use_ema else self.state.params
         # Build the Inferencer ONCE and swap weights per epoch: jax.jit
         # caches per function object, so a fresh Inferencer every epoch
         # would retrace + recompile the whole eval program each time.
@@ -275,9 +282,9 @@ class Trainer:
         if inf is None:
             inf = self._inferencer = Inferencer(
                 self.cfg, model=self.model,
-                params=self.state.params, batch_stats=self.state.batch_stats,
+                params=params, batch_stats=self.state.batch_stats,
                 mesh=self.mesh, data_axis=self.cfg.parallel.data_axis,
             )
         else:
-            inf.set_weights(self.state.params, self.state.batch_stats)
+            inf.set_weights(params, self.state.batch_stats)
         return inf.evaluate(self.val_dataset, max_batches=max_batches)

@@ -24,6 +24,9 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     rng: jax.Array  # PRNG key driving augmentation
+    # EMA of params (train.ema_decay > 0), else None. None is an empty
+    # pytree subtree, so ema-off checkpoints keep the pre-EMA structure.
+    ema_params: Any = None
 
 
 def poly_schedule(base_lr: float, max_steps: int, power: float = 0.9,
@@ -39,15 +42,54 @@ def poly_schedule(base_lr: float, max_steps: int, power: float = 0.9,
     return schedule
 
 
+def make_schedule(cfg, max_steps: int) -> optax.Schedule:
+    """LR schedule from a TrainConfig: poly (reference), cosine, constant —
+    each with the same linear warmup ramp."""
+    kind = getattr(cfg, "schedule", "poly")
+    if kind == "poly":
+        return poly_schedule(cfg.lr, max_steps, cfg.poly_power,
+                             cfg.warmup_steps)
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        frac = jnp.clip(s / max(max_steps, 1), 0.0, 1.0)
+        if kind == "cosine":
+            lr = cfg.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        elif kind == "constant":
+            lr = jnp.full((), cfg.lr, jnp.float32)
+        else:
+            raise ValueError(f"unknown train.schedule {kind!r} "
+                             "(poly | cosine | constant)")
+        if cfg.warmup_steps > 0:
+            lr = lr * jnp.clip(s / cfg.warmup_steps, 0.0, 1.0)
+        return lr
+
+    if kind not in ("cosine", "constant"):  # fail at build, not at trace
+        raise ValueError(f"unknown train.schedule {kind!r} "
+                         "(poly | cosine | constant)")
+    return schedule
+
+
 def make_optimizer(cfg, max_steps: int) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    """SGD + momentum + wd + poly LR from a TrainConfig."""
-    sched = poly_schedule(cfg.lr, max_steps, cfg.poly_power, cfg.warmup_steps)
+    """Optimizer + LR schedule from a TrainConfig.
+
+    sgd: clip -> decoupled wd (torch ``SGD(weight_decay=)`` composition)
+    -> momentum SGD. adamw: clip -> optax.adamw (wd decoupled inside,
+    applied after the Adam rescale — the AdamW paper's composition)."""
+    sched = make_schedule(cfg, max_steps)
     chain = []
     if cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
-    if cfg.weight_decay > 0:
-        chain.append(optax.add_decayed_weights(cfg.weight_decay))
-    chain.append(optax.sgd(learning_rate=sched, momentum=cfg.momentum))
+    kind = getattr(cfg, "optimizer", "sgd")
+    if kind == "sgd":
+        if cfg.weight_decay > 0:
+            chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        chain.append(optax.sgd(learning_rate=sched, momentum=cfg.momentum))
+    elif kind == "adamw":
+        chain.append(optax.adamw(learning_rate=sched,
+                                 weight_decay=cfg.weight_decay))
+    else:
+        raise ValueError(f"unknown train.optimizer {kind!r} (sgd | adamw)")
     return optax.chain(*chain), sched
 
 
@@ -62,10 +104,16 @@ def create_train_state(model, cfg_model, cfg_train, max_steps: int,
     if tx is None:
         tx, _ = make_optimizer(cfg_train, max_steps)
     opt_state = tx.init(params)
+    ema = None
+    if getattr(cfg_train, "ema_decay", 0.0) > 0:
+        # Start the average AT the init point (the t=0 ramp decay is 0.1,
+        # so the EMA converges onto the trajectory within a few steps).
+        ema = jax.tree.map(jnp.array, params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
         rng=jax.random.PRNGKey(cfg_train.seed),
+        ema_params=ema,
     )

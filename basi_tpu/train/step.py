@@ -62,6 +62,7 @@ def make_train_step(
         model = model.clone(bn_axis=data_axis)
 
     max_pos = getattr(cfg_train, "max_pos_cells", 64)
+    ema_decay = float(getattr(cfg_train, "ema_decay", 0.0))
 
     def loss_fn(params, batch_stats, images, gt_masks, gt_valid,
                 gt_stats=None):
@@ -237,12 +238,26 @@ def make_train_step(
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay > 0:
+            # One EMA update per OPTIMIZER step (grad_accum micro-batches
+            # share one), after the param update, with the timm warmup ramp
+            # d_t = min(d, (1+t)/(10+t)) so the average leaves the random
+            # init quickly. Params are replicated under DP and the update
+            # is deterministic, so the EMA stays replicated with no extra
+            # collective.
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_params)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
             rng=state.rng,
+            ema_params=new_ema,
         )
         return new_state, metrics
 

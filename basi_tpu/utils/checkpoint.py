@@ -42,7 +42,49 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except Exception as first_err:
+            # Toggling train.ema_decay across a resume changes the state
+            # tree structure (ema_params subtree present/absent), which the
+            # structure-matched restore rejects. Retry with the other
+            # structure and reconcile:
+            if getattr(template, "ema_params", None) is not None:
+                # EMA enabled mid-run, checkpoint predates it: restore the
+                # pre-EMA tree and seed the average from the restored
+                # params (the warmup ramp re-converges within a few steps).
+                base = template.replace(ema_params=None)
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(base))
+                return restored.replace(
+                    ema_params=jax.tree.map(lambda p: p.copy(),
+                                            restored.params))
+            # EMA disabled mid-run, checkpoint carries it: restore with a
+            # params-shaped ema template, then drop the average.
+            with_ema = template.replace(
+                ema_params=jax.tree.map(lambda p: p.copy(), template.params))
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(with_ema))
+            except Exception:
+                raise first_err
+            return restored.replace(ema_params=None)
+
+    def restore_weights(self, step: int | None = None):
+        """Template-free restore of just the eval weights: (params,
+        batch_stats), preferring the EMA params when the checkpoint
+        carries them. Unlike ``restore`` this needs NO TrainState template,
+        so loading a checkpoint for inference does not require knowing the
+        optimizer/schedule/EMA configuration it was trained with (an
+        AdamW-trained checkpoint must be loadable by a default-config
+        ``basi eval``)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore(None))
+        ema = raw.get("ema_params")
+        params = ema if ema else raw["params"]
+        return params, raw.get("batch_stats") or {}
 
     def maybe_resume(self, state: TrainState, resume: str = "auto") -> TrainState:
         """resume: 'auto' (newest valid step, fresh start if none) | 'none'

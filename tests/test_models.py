@@ -61,7 +61,7 @@ def test_resnet_depth_variants_structure():
     (jax.eval_shape - no FLOPs) so the deep variants stay fast-tier."""
     from basi_tpu.models.resnet import STAGE_SIZES
 
-    for name in ("resnet101", "resnet152"):
+    for name in ("resnet18", "resnet34", "resnet101", "resnet152"):
         m = BASINet(backbone=name, fpn_channels=32, mask_channels=32,
                     grid_size=8)
         shapes = jax.eval_shape(
@@ -72,13 +72,21 @@ def test_resnet_depth_variants_structure():
         for stage, blocks in enumerate(STAGE_SIZES[name], start=1):
             assert f"layer{stage}_{blocks - 1}" in bb, (name, stage)
             assert f"layer{stage}_{blocks}" not in bb, (name, stage)
-        # Bottleneck widths match torchvision (stage 4 expands to 2048).
-        assert bb["layer4_0"]["c"]["conv"]["kernel"].shape[-1] == 2048
+        if name in ("resnet18", "resnet34"):
+            # BasicBlock: two convs, no expansion (layer4 = 512 wide),
+            # and torchvision's identity-shortcut layer1 (no proj).
+            assert "c" not in bb["layer4_0"], name
+            assert bb["layer4_0"]["b"]["conv"]["kernel"].shape[-1] == 512
+            assert "proj" not in bb["layer1_0"], name
+            assert "proj" in bb["layer2_0"], name
+        else:
+            # Bottleneck widths match torchvision (stage 4 -> 2048).
+            assert bb["layer4_0"]["c"]["conv"]["kernel"].shape[-1] == 2048
 
 
 def test_unknown_backbone_rejected():
     with pytest.raises(ValueError, match="unknown backbone"):
-        BASINet(backbone="resnet18", fpn_channels=32, mask_channels=32,
+        BASINet(backbone="resnet20", fpn_channels=32, mask_channels=32,
                 grid_size=8).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
             train=False)

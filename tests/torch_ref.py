@@ -32,11 +32,38 @@ class Bottleneck(nn.Module):
         return self.relu(out + identity)
 
 
-class ResNet50Trunk(nn.Module):
-    """torchvision resnet50 minus avgpool/fc, returning C2..C5."""
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34), identical state_dict names."""
 
-    def __init__(self, stage_sizes=(3, 4, 6, 3)):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
         super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet50Trunk(nn.Module):
+    """torchvision resnet minus avgpool/fc, returning C2..C5 (block=
+    Bottleneck mirrors resnet50/101/152; BasicBlock mirrors 18/34)."""
+
+    def __init__(self, stage_sizes=(3, 4, 6, 3), block=Bottleneck):
+        super().__init__()
+        self.block = block
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.relu = nn.ReLU(inplace=True)
@@ -48,17 +75,18 @@ class ResNet50Trunk(nn.Module):
         self.layer4 = self._make_layer(512, stage_sizes[3], stride=2)
 
     def _make_layer(self, planes, blocks, stride):
+        exp = self.block.expansion
         downsample = None
-        if stride != 1 or self.inplanes != planes * 4:
+        if stride != 1 or self.inplanes != planes * exp:
             downsample = nn.Sequential(
-                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                nn.Conv2d(self.inplanes, planes * exp, 1, stride=stride,
                           bias=False),
-                nn.BatchNorm2d(planes * 4),
+                nn.BatchNorm2d(planes * exp),
             )
-        layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
-        self.inplanes = planes * 4
+        layers = [self.block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * exp
         for _ in range(1, blocks):
-            layers.append(Bottleneck(self.inplanes, planes))
+            layers.append(self.block(self.inplanes, planes))
         return nn.Sequential(*layers)
 
     def forward(self, x):
