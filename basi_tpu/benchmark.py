@@ -247,38 +247,54 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
         ds = FolderDataset(tmp, image_size=cfg.model.image_size,
                            max_instances=cfg.data.max_instances,
                            decode_backend="native")
-        feed = DeviceFeed(ds, batch_size, shuffle=False, seed=0, depth=4,
-                          drop_last=True)
 
-        # e2e pass: decode overlaps device compute; dispatches are async
-        # and the final scalar fetch syncs every batch's execution.
-        n_imgs = 0
-        t0 = None
-        last = None
-        for bi, batch in enumerate(feed.epoch(0)):
-            _, scores, _ = inf.predict_batch(batch["image"])
-            last = scores
-            if bi == 0:  # compile + first decode excluded from the clock
-                float(jax.device_get(jnp.sum(scores)))
-                t0 = time.perf_counter()
-            else:
-                n_imgs += batch_size
-        float(jax.device_get(jnp.sum(last)))
-        e2e_rate = n_imgs / (time.perf_counter() - t0)
+        def paced(dataset):
+            """(e2e imgs/s, ingest-only imgs/s) through a DeviceFeed.
 
-        # ingest-only pass: decode + letterbox + device upload, no forward.
-        n_imgs = 0
-        t0 = None
-        last_img = None
-        for bi, batch in enumerate(feed.epoch(1)):
-            last_img = batch["image"]
-            if bi == 0:
-                t0 = time.perf_counter()
-            else:
-                n_imgs += batch_size
-        # force the final (async) upload before stopping the clock
-        float(jax.device_get(jnp.sum(last_img.astype(jnp.int32))))
-        ingest_rate = n_imgs / (time.perf_counter() - t0)
+            e2e pass: ingest overlaps device compute; dispatches are async
+            and the final scalar fetch syncs every batch's execution.
+            Ingest-only pass: files -> host batch -> device upload, no
+            forward. First batch (compile + first decode) excluded."""
+            feed = DeviceFeed(dataset, batch_size, shuffle=False, seed=0,
+                              depth=4, drop_last=True)
+            n_imgs = 0
+            t0 = None
+            last = None
+            for bi, batch in enumerate(feed.epoch(0)):
+                _, scores, _ = inf.predict_batch(batch["image"])
+                last = scores
+                if bi == 0:
+                    float(jax.device_get(jnp.sum(scores)))
+                    t0 = time.perf_counter()
+                else:
+                    n_imgs += batch_size
+            float(jax.device_get(jnp.sum(last)))
+            e2e = n_imgs / (time.perf_counter() - t0)
+
+            n_imgs = 0
+            t0 = None
+            last_img = None
+            for bi, batch in enumerate(feed.epoch(1)):
+                last_img = batch["image"]
+                if bi == 0:
+                    t0 = time.perf_counter()
+                else:
+                    n_imgs += batch_size
+            # force the final (async) upload before stopping the clock
+            float(jax.device_get(jnp.sum(last_img.astype(jnp.int32))))
+            return e2e, n_imgs / (time.perf_counter() - t0)
+
+        e2e_rate, ingest_rate = paced(ds)
+
+        # Same two passes through a `basi pack` shard cache (decode paid
+        # once, off the clock): quantifies the decode-once answer to the
+        # host-core budget (SURVEY §7 hard part 4).
+        from basi_tpu.data.shards import ShardDataset, pack_dataset
+
+        shard_dir = os.path.join(tmp, "shards")
+        pack_dataset(ds, shard_dir, shard_size=1024,
+                     batch_size=batch_size, log=None)
+        shard_e2e, shard_ingest = paced(ShardDataset(shard_dir))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -294,6 +310,9 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
         "host_cores": ncores,
         "ingest_imgs_per_s_per_core": round(per_core, 1),
         "cores_to_saturate_device_headline": int(np.ceil(headline / per_core)),
+        # decode-once shard cache (`basi pack`, data/shards.py)
+        "shards_e2e_imgs_per_s": round(shard_e2e, 1),
+        "shards_ingest_only_imgs_per_s": round(shard_ingest, 1),
     }
 
 

@@ -266,6 +266,21 @@ def cmd_bench(args) -> int:
     return run(mode=args.mode, overrides=getattr(args, "overrides", []))
 
 
+def cmd_pack(args) -> int:
+    """Decode the configured dataset once into a packed shard cache
+    (data/shards.py) — subsequent `--set data.dataset=shards
+    data.root=<out>` runs stream it at mmap speed."""
+    from basi_tpu.data.datasets import make_dataset
+    from basi_tpu.data.shards import pack_dataset
+    from basi_tpu.utils.tools import Tools
+
+    cfg = _build_cfg(args)
+    ds = make_dataset(cfg.data, split=args.split or cfg.data.split)
+    pack_dataset(ds, args.out, shard_size=args.shard_size,
+                 batch_size=cfg.data.batch_size, log=Tools.print)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="basi", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -334,6 +349,18 @@ def main(argv=None) -> int:
                          default=[], metavar="KEY.PATH=VALUE",
                          help="config override (train/e2e modes)")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_pack = sub.add_parser(
+        "pack", help="decode the configured dataset once into a packed "
+                     "shard cache (then: --set data.dataset=shards "
+                     "data.root=<out>)")
+    _add_common(p_pack)
+    p_pack.add_argument("--out", required=True, help="output shard dir")
+    p_pack.add_argument("--split", default="",
+                        help="dataset split to pack (default: config's)")
+    p_pack.add_argument("--shard-size", type=int, default=1024,
+                        help="records per shard file")
+    p_pack.set_defaults(fn=cmd_pack)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -387,6 +387,14 @@ def make_dataset(cfg_data, split: str | None = None):
             decode_backend=cfg_data.decode_backend,
             ann_file=getattr(cfg_data, "ann_file", ""),
         )
+    if cfg_data.dataset == "shards":
+        from basi_tpu.data.shards import ShardDataset
+
+        root = cfg_data.root
+        if split and os.path.isdir(os.path.join(root, split)):
+            root = os.path.join(root, split)
+        return ShardDataset(root, image_size=cfg_data.image_size,
+                            max_instances=cfg_data.max_instances)
     raise ValueError(f"unknown dataset {cfg_data.dataset!r}")
 
 

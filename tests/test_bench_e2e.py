@@ -27,3 +27,6 @@ def test_bench_e2e_smoke():
     assert res["cores_to_saturate_device_headline"] >= 1
     # forward can only slow ingest down, never speed it up
     assert res["value"] <= res["ingest_only_imgs_per_s"] * 1.5
+    # shard-cache passes ran and produced sane rates (decode-once path)
+    assert res["shards_e2e_imgs_per_s"] > 0
+    assert res["shards_ingest_only_imgs_per_s"] > 0
