@@ -45,6 +45,11 @@ class APAccumulator:
     than the per-threshold-loop formulation on 10k entries).
     """
 
+    # COCO area ranges (pixels in the matching frame — letterbox frame by
+    # default, original frame under infer.ap_at_original)
+    AREA_BINS = {"small": (0, 32 ** 2), "medium": (32 ** 2, 96 ** 2),
+                 "large": (96 ** 2, np.inf)}
+
     def __init__(self, thresholds=(0.5, 0.7)):
         self.thresholds = tuple(thresholds)
         self.coco_ladder = tuple(np.round(np.arange(0.5, 1.0, 0.05), 2))
@@ -55,9 +60,16 @@ class APAccumulator:
         self._scores: list[np.ndarray] = []  # per-image kept scores (desc)
         self._tp: list[np.ndarray] = []  # per-image (T, k) TP flags
         self._num_gt = 0
+        # recall bookkeeping: per image, the detection rank (0 = highest
+        # score) at which each GT slot was matched, -1 if never (T, M)
+        self._match_rank: list[np.ndarray] = []
+        self._gt_valid: list[np.ndarray] = []  # per-image (M,) bool
+        self._gt_areas: list[np.ndarray | None] = []  # per-image (M,)
 
-    def add(self, scores: np.ndarray, iou: np.ndarray, gt_valid: np.ndarray):
-        """scores (K,), iou (K, M), gt_valid (M,) for one image."""
+    def add(self, scores: np.ndarray, iou: np.ndarray, gt_valid: np.ndarray,
+            gt_areas: np.ndarray | None = None):
+        """scores (K,), iou (K, M), gt_valid (M,) for one image;
+        gt_areas (M,) in pixels enables the size-binned AR metrics."""
         scores = np.asarray(scores, np.float64)
         iou = np.asarray(iou, np.float64)
         gt_valid = np.asarray(gt_valid).astype(bool)
@@ -68,6 +80,7 @@ class APAccumulator:
         t_count = self._thr.size
         tp = np.zeros((t_count, keep.size), bool)
         matched = np.zeros((t_count, iou.shape[1]), bool)
+        rank = np.full((t_count, iou.shape[1]), -1, np.int32)
         thr_col = self._thr[:, None]
         # Greedy match, all thresholds at once: highest-score pred takes
         # the best unmatched GT with IoU >= thr (COCO matching).
@@ -77,9 +90,44 @@ class APAccumulator:
             has = cand.any(axis=1)
             best = np.argmax(np.where(cand, row, -1.0), axis=1)
             matched[has, best[has]] = True
+            rank[has, best[has]] = out_i  # first (and only) assignment
             tp[:, out_i] = has
         self._scores.append(scores[keep])
         self._tp.append(tp)
+        self._match_rank.append(rank)
+        self._gt_valid.append(gt_valid)
+        self._gt_areas.append(
+            None if gt_areas is None else np.asarray(gt_areas, np.float64))
+
+    def ar(self) -> dict[str, float]:
+        """COCO-style average recall over the 0.5:0.95 ladder: AR@K for
+        K in {1, 10, 100} detections/image, plus AR@100 split by the COCO
+        GT-size bins when ``add`` received areas. Bins with zero GT report
+        -1.0 (the pycocotools convention)."""
+        ladder_ix = [self._thr_list.index(t) for t in self.coco_ladder]
+        if self._num_gt == 0:
+            out = {f"AR@{k}": 0.0 for k in (1, 10, 100)}
+            return out | {f"AR@100_{b}": -1.0 for b in self.AREA_BINS}
+        rank = np.concatenate(self._match_rank, axis=1)[ladder_ix]  # (L, G)
+        valid = np.concatenate(self._gt_valid)  # (G,)
+        out = {}
+        for k in (1, 10, 100):
+            hit = (rank >= 0) & (rank < k) & valid[None, :]
+            out[f"AR@{k}"] = float(hit.sum(axis=1).mean() / valid.sum())
+        have_areas = all(a is not None for a in self._gt_areas)
+        for name, (lo, hi) in self.AREA_BINS.items():
+            if not have_areas:
+                out[f"AR@100_{name}"] = -1.0
+                continue
+            areas = np.concatenate(self._gt_areas)
+            in_bin = valid & (areas >= lo) & (areas < hi)
+            if not in_bin.any():
+                out[f"AR@100_{name}"] = -1.0
+                continue
+            hit = (rank >= 0) & (rank < 100) & in_bin[None, :]
+            out[f"AR@100_{name}"] = float(
+                hit.sum(axis=1).mean() / in_bin.sum())
+        return out
 
     def ap(self) -> dict[str, float]:
         zero = {f"AP@{t}": 0.0 for t in self.thresholds} | {"mAP": 0.0}

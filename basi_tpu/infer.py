@@ -62,15 +62,16 @@ class Inferencer:
         has_steps = os.path.isdir(checkpoint) and any(
             d.isdigit() for d in os.listdir(checkpoint))
         if has_steps:
-            # create_train_state performs its own init_model — do NOT init
-            # a second throwaway template here (it doubles startup cost).
-            from basi_tpu.train.state import create_train_state
+            # Template-free weights restore: eval must not need to know
+            # the optimizer/EMA configuration the checkpoint was trained
+            # with (and skipping the TrainState template also skips a
+            # throwaway init_model). EMA weights are preferred when the
+            # checkpoint carries them (same rule as the Trainer's
+            # per-epoch eval).
             from basi_tpu.utils.checkpoint import CheckpointManager
 
-            template = create_train_state(self.model, cfg.model, cfg.train, 1)
             mgr = CheckpointManager(checkpoint)
-            state = mgr.restore(template)
-            return state.params, state.batch_stats
+            return mgr.restore_weights()
         from basi_tpu.utils.checkpoint import load_params
 
         tmpl_p, tmpl_b = init_model(self.model, cfg.model.image_size)
@@ -484,7 +485,9 @@ class Inferencer:
         dataset. IoU (or MAE/F/E/S) after bilinear letterboxing != the
         same metric at original resolution for any non-square image —
         this path restores the reference's geometry for the whole metric
-        set. Returns (iou, mae, f_mat, e_mat, s, bf, wf)."""
+        set. Returns (iou, mae, f_mat, e_mat, s, bf, wf, gt_areas) —
+        gt_areas in NATIVE-frame pixels so the size-binned AR uses the
+        same geometry as the matching."""
         import warnings
 
         size = self.cfg.model.image_size
@@ -507,7 +510,8 @@ class Inferencer:
         return self._orig_eval_fn((ch, cw))(
             full, sal, jnp.asarray(batch["valid_hw"]),
             jnp.asarray(batch["orig_hw"]), jnp.asarray(gt),
-            jnp.asarray(batch["valid"]))
+            jnp.asarray(batch["valid"])) + (
+            gt.astype(np.int64).sum(axis=(2, 3)),)
 
     def _to_full_res(self, probs: jnp.ndarray):
         """Upsample slot-mask PROBS to model input resolution (fused kernel,
@@ -816,18 +820,20 @@ class Inferencer:
             nonlocal n_img, n_batches, sal_mae_sum, f_sum, png_ms
             nonlocal t_steady, png_at_steady, e_sum, s_sum, bf_sum, wf_sum
             (bi, batch, scores, iou, mae_per, f_mat, e_mat, s_per, bf_per,
-             wf_per, gt_valid, full) = pending.popleft()
+             wf_per, gt_valid, full, gt_areas) = pending.popleft()
             # ONE batched fetch: each device_get pays a full relay round
             # trip (~25-30 ms on axon, bench.py note) — sequential fetches
             # were as many round trips on the timed path.
-            scores_h, iou_h, mae_h, f_h, e_h, s_h, bf_h, wf_h, valid_h = (
+            (scores_h, iou_h, mae_h, f_h, e_h, s_h, bf_h, wf_h, valid_h,
+             areas_h) = (
                 np.asarray(x)
                 for x in jax.device_get((scores, iou, mae_per, f_mat,
                                          e_mat, s_per, bf_per, wf_per,
-                                         gt_valid)))
+                                         gt_valid, gt_areas)))
             nreal = int(batch["num_real"])
             for i in range(nreal):  # padded tail duplicates are skipped
-                acc.add(scores_h[i], iou_h[i], valid_h[i])
+                acc.add(scores_h[i], iou_h[i], valid_h[i],
+                        gt_areas=areas_h[i])
             n_img += nreal
             n_batches += 1
             sal_mae_sum += float(mae_h[:nreal].sum())
@@ -888,16 +894,22 @@ class Inferencer:
                     # kernel, one extra async dispatch per batch).
                     full = self._full_fn(masks)
                 del masks  # full-res ``full`` supersedes it in the drain
+                # GT pixel areas in the matching frame, for the size-binned
+                # AR metrics: one tiny async reduce that joins the drain's
+                # batched fetch. gmasks is the (possibly global) device
+                # array, so areas stay row-consistent with the replicated
+                # iou/valid outputs under multi-process eval.
+                gt_areas = jnp.sum(gmasks.astype(jnp.int32), axis=(2, 3))
                 if ap_orig:
                     # Swap the letterbox-frame metrics for original-frame
                     # ones — matching IoU AND the saliency suite — (async
                     # dispatch; joins the same pipelined drain).
-                    (iou, mae_per, f_mat, e_mat, s_per, bf_per,
-                     wf_per) = self._orig_frame_eval(full, sal_full, batch,
-                                                     dataset)
+                    (iou, mae_per, f_mat, e_mat, s_per, bf_per, wf_per,
+                     gt_areas) = self._orig_frame_eval(full, sal_full, batch,
+                                                       dataset)
                 pending.append((bi, batch, scores, iou, mae_per, f_mat,
                                 e_mat, s_per, bf_per, wf_per, gt_valid,
-                                full))
+                                full, gt_areas))
                 while len(pending) > lag:
                     drain_one()
             while pending:
@@ -906,7 +918,7 @@ class Inferencer:
             steady_ms = ((_time.perf_counter() - t_steady) * 1000
                          if t_steady is not None else total_ms)
 
-        metrics = acc.ap()
+        metrics = acc.ap() | acc.ar()
         if n_img:
             metrics["saliency_mae"] = round(sal_mae_sum / n_img, 4)
             metrics["saliency_maxF"] = round(float(np.max(f_sum / n_img)), 4)

@@ -123,3 +123,58 @@ def test_ap_ignores_zero_score_and_invalid_gt():
     ap = acc.ap()
     assert acc._num_gt == 1
     np.testing.assert_allclose(ap["AP@0.5"], 1.0, atol=1e-9)
+
+
+def test_ar_at_k_golden():
+    """AR@K: GT matched at detection rank >= K does not count.
+
+    One image, 2 GT. Det ranks (by score): det0 matches gt0 (iou .99),
+    det1 is FP, ... det10 matches gt1 (iou .99) at rank 10. All ladder
+    thresholds match identically (iou .99 > every tau <= .95):
+      AR@1   = 1/2 (only gt0 within top-1)
+      AR@10  = 1/2 (rank 10 is the 11th detection)
+      AR@100 = 1
+    """
+    acc = APAccumulator()
+    k = 11
+    iou = np.zeros((k, 2))
+    iou[0, 0] = 0.99
+    iou[10, 1] = 0.99
+    scores = np.linspace(0.9, 0.3, k)
+    acc.add(scores, iou, np.ones(2))
+    ar = acc.ar()
+    np.testing.assert_allclose(ar["AR@1"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(ar["AR@10"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(ar["AR@100"], 1.0, atol=1e-9)
+
+
+def test_ar_ladder_averaging():
+    """A GT matched at IoU .6 counts for ladder taus {.5,.55,.6} only:
+    AR@100 = 3/10."""
+    acc = APAccumulator()
+    acc.add(np.array([0.9]), np.array([[0.6]]), np.ones(1))
+    ar = acc.ar()
+    np.testing.assert_allclose(ar["AR@100"], 3 / 10, atol=1e-9)
+
+
+def test_ar_size_bins():
+    """Two GT: one small (100 px), one large (10000 px). Only the small
+    one is matched -> AR_small=1, AR_large=0, AR_medium=-1 (no GT)."""
+    acc = APAccumulator()
+    acc.add(np.array([0.9]), np.array([[0.95, 0.0]]), np.ones(2),
+            gt_areas=np.array([100.0, 10000.0]))
+    ar = acc.ar()
+    np.testing.assert_allclose(ar["AR@100_small"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(ar["AR@100_large"], 0.0, atol=1e-9)
+    assert ar["AR@100_medium"] == -1.0
+    # a mixed stream where one image lacks areas -> bins unavailable
+    acc.add(np.array([0.5]), np.array([[0.9, 0.0]]), np.ones(2))
+    assert acc.ar()["AR@100_small"] == -1.0
+
+
+def test_ar_empty_and_invalid_gt():
+    acc = APAccumulator()
+    assert acc.ar()["AR@100"] == 0.0
+    # invalid GT slots are excluded from both numerator and denominator
+    acc.add(np.array([0.9]), np.array([[0.0, 0.9]]), np.array([1, 0]))
+    assert acc.ar()["AR@100"] == 0.0
