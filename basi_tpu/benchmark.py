@@ -294,7 +294,25 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
         shard_dir = os.path.join(tmp, "shards")
         pack_dataset(ds, shard_dir, shard_size=1024,
                      batch_size=batch_size, log=None)
-        shard_e2e, shard_ingest = paced(ShardDataset(shard_dir))
+        sds = ShardDataset(shard_dir)
+        shard_e2e, shard_ingest = paced(sds)
+
+        # HOST-ONLY rates (no device upload): on a tunneled host the
+        # ingest numbers above are relay-upload-bound (~22 MB/batch over
+        # axon), which hides how far the decode-once cache moves the
+        # actual host budget — these isolate it.
+        def host_rate(dataset):
+            from basi_tpu.data.datasets import iter_epoch
+
+            n = 0
+            t0 = time.perf_counter()
+            for b in iter_epoch(dataset, batch_size, shuffle=False, seed=0):
+                n += b["image"].shape[0]
+            return n / (time.perf_counter() - t0)
+
+        host_decode = host_rate(ds)
+        host_rate(sds)  # warm the page cache (decode pass just wrote it)
+        host_shards = host_rate(sds)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -313,6 +331,10 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
         # decode-once shard cache (`basi pack`, data/shards.py)
         "shards_e2e_imgs_per_s": round(shard_e2e, 1),
         "shards_ingest_only_imgs_per_s": round(shard_ingest, 1),
+        # host-side batch assembly only, no device upload (the honest
+        # decode-vs-shards comparison on a relay-bound host)
+        "host_only_decode_imgs_per_s": round(host_decode, 1),
+        "host_only_shards_imgs_per_s": round(host_shards, 1),
     }
 
 

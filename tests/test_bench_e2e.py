@@ -30,3 +30,6 @@ def test_bench_e2e_smoke():
     # shard-cache passes ran and produced sane rates (decode-once path)
     assert res["shards_e2e_imgs_per_s"] > 0
     assert res["shards_ingest_only_imgs_per_s"] > 0
+    # host-only: mmap-speed shard reads must beat the decode path
+    assert (res["host_only_shards_imgs_per_s"]
+            > res["host_only_decode_imgs_per_s"])
