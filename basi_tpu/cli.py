@@ -118,10 +118,10 @@ def cmd_export(args) -> int:
         from basi_tpu.models.resnet import STAGE_SIZES
 
         if (cfg.model.backbone not in STAGE_SIZES
-                and cfg.model.backbone != "vgg16"):
+                and not cfg.model.backbone.startswith("vgg")):
             raise ValueError(
                 f"torch export unsupported for backbone "
-                f"{cfg.model.backbone!r} (ResNet family or vgg16, "
+                f"{cfg.model.backbone!r} (ResNet family or vgg16/19, "
                 f"like import)")
     inf = Inferencer(cfg, checkpoint=args.checkpoint)
     if args.torch:
@@ -164,14 +164,14 @@ def cmd_import(args) -> int:
 
     cfg = _build_cfg(args)
     if (args.what == "full" and cfg.model.backbone not in STAGE_SIZES
-            and cfg.model.backbone != "vgg16"):
+            and cfg.model.backbone not in ("vgg16", "vgg19")):
         # Fail BEFORE loading the torch file: import_basinet only maps
-        # ResNet-family and vgg16 state_dicts; letting an unknown backbone
+        # ResNet-family and vgg state_dicts; letting an unknown backbone
         # fall through used to die with an opaque missing-key error deep
         # in the converter.
         raise ValueError(
             f"full import unsupported for backbone {cfg.model.backbone!r} "
-            f"(ResNet family or vgg16 state_dicts only)")
+            f"(ResNet family or vgg16/19 state_dicts only)")
     sd = _load_torch_state_dict(args.torch)
     stage_sizes = STAGE_SIZES.get(cfg.model.backbone, (3, 4, 6, 3))
     if args.what == "full":
@@ -197,8 +197,11 @@ def cmd_import(args) -> int:
 
         model = create_model(cfg.model)
         params, stats = init_model(model, cfg.model.image_size)
-        if cfg.model.backbone == "vgg16":
-            bb_params, bb_stats = import_vgg16_backbone(sd)
+        if cfg.model.backbone in ("vgg16", "vgg19"):
+            from basi_tpu.models.vgg import VGG_DEPTHS
+
+            bb_params, bb_stats = import_vgg16_backbone(
+                sd, VGG_DEPTHS[cfg.model.backbone])
         elif cfg.model.backbone in STAGE_SIZES:
             bb_params, bb_stats = import_resnet50_backbone(sd, stage_sizes)
         else:

@@ -55,8 +55,11 @@ def import_basinet(
 
     bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}
-    if backbone == "vgg16":
-        bb_params, bb_stats = import_vgg16_backbone(bb_sd)
+    if backbone.startswith("vgg"):
+        from basi_tpu.models.vgg import VGG_DEPTHS
+
+        bb_params, bb_stats = import_vgg16_backbone(bb_sd,
+                                                    VGG_DEPTHS[backbone])
     else:
         bb_params, bb_stats = import_resnet50_backbone(bb_sd, stage_sizes)
 

@@ -64,13 +64,13 @@ def export_resnet50_backbone(params: dict, stats: dict,
     return out
 
 
-def export_vgg16_backbone(params: dict) -> dict:
-    """VGG16 trunk params -> torchvision-style ``features.{idx}.*`` entries
-    (no 'backbone.' prefix; classic VGG16 carries no running stats)."""
-    from basi_tpu.convert.torch_import import _VGG16_LAYOUT
+def export_vgg16_backbone(params: dict, depths=(2, 2, 3, 3, 3)) -> dict:
+    """VGG16/19 trunk params -> torchvision-style ``features.{idx}.*``
+    entries (no 'backbone.' prefix; classic VGG carries no running stats)."""
+    from basi_tpu.convert.torch_import import vgg_layout
 
     out: dict = {}
-    for idx, name in _VGG16_LAYOUT:
+    for idx, name in vgg_layout(depths):
         _put_conv(out, f"features.{idx}", params[name])
     return out
 
@@ -81,8 +81,10 @@ def export_basinet(params: dict, batch_stats: dict,
     """Full BASINet variables -> torch state_dict (reference-style module
     names, the exact inverse of full_import.import_basinet)."""
     out: dict = {}
-    if backbone == "vgg16":
-        bb = export_vgg16_backbone(params["backbone"])
+    if backbone.startswith("vgg"):
+        from basi_tpu.models.vgg import VGG_DEPTHS
+
+        bb = export_vgg16_backbone(params["backbone"], VGG_DEPTHS[backbone])
     else:
         bb = export_resnet50_backbone(params["backbone"],
                                       batch_stats["backbone"], stage_sizes)

@@ -71,20 +71,26 @@ def import_resnet50_backbone(
     return params, stats
 
 
-_VGG16_LAYOUT = [  # torchvision features index -> our conv name
-    (0, "conv1_1"), (2, "conv1_2"),
-    (5, "conv2_1"), (7, "conv2_2"),
-    (10, "conv3_1"), (12, "conv3_2"), (14, "conv3_3"),
-    (17, "conv4_1"), (19, "conv4_2"), (21, "conv4_3"),
-    (24, "conv5_1"), (26, "conv5_2"), (28, "conv5_3"),
-]
+def vgg_layout(depths=(2, 2, 3, 3, 3)) -> list[tuple[int, str]]:
+    """torchvision ``features.*`` index -> our conv name, for any VGG
+    depth: each conv occupies (Conv, ReLU) = 2 module slots, each block
+    ends with one MaxPool slot. For vgg16 this reproduces indices
+    0,2 / 5,7 / 10,12,14 / 17,19,21 / 24,26,28 (tested)."""
+    layout, idx = [], 0
+    for block, n in enumerate(depths, start=1):
+        for i in range(n):
+            layout.append((idx, f"conv{block}_{i + 1}"))
+            idx += 2
+        idx += 1  # the block's MaxPool
+    return layout
 
 
-def import_vgg16_backbone(state_dict: Mapping[str, Any]) -> tuple[dict, dict]:
-    """torchvision vgg16 'features.*' state_dict -> (params, {}) for VGG16."""
+def import_vgg16_backbone(state_dict: Mapping[str, Any],
+                          depths=(2, 2, 3, 3, 3)) -> tuple[dict, dict]:
+    """torchvision vgg16/19 'features.*' state_dict -> (params, {})."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     params: dict = {}
-    for idx, name in _VGG16_LAYOUT:
+    for idx, name in vgg_layout(depths):
         params[name] = {
             "kernel": _conv(sd[f"features.{idx}.weight"]),
             "bias": sd[f"features.{idx}.bias"],

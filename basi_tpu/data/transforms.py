@@ -97,10 +97,10 @@ def wants_s2d_feed(model_or_cfg) -> bool:
     """True when the model consumes the host-packed space-to-depth uint8
     feed (``space_to_depth_host`` layout). Single source of truth for the
     predicate shared by infer/serve/benchmark: s2d applies only to the
-    ResNet stem — VGG16 keeps the raw 3-channel input (feeding it a
+    ResNet stem — VGG16/19 keep the raw 3-channel input (feeding them a
     12-channel batch would crash at trace time, far from the cause)."""
     return (getattr(model_or_cfg, "stem_mode", "conv7") == "s2d"
-            and getattr(model_or_cfg, "backbone", "") != "vgg16")
+            and not getattr(model_or_cfg, "backbone", "").startswith("vgg"))
 
 
 def space_to_depth_host(imgs: "np.ndarray", block: int = 2):

@@ -75,8 +75,11 @@ class BASINet(nn.Module):
             trunk_kwargs["stage_sizes"] = STAGE_SIZES[self.backbone]
             trunk_kwargs["block"] = BLOCK_KIND.get(self.backbone, "bottleneck")
             trunk_kwargs["stem_mode"] = self.stem_mode
-        elif self.backbone == "vgg16":
+        elif self.backbone in ("vgg16", "vgg19"):
+            from basi_tpu.models.vgg import VGG_DEPTHS
+
             trunk_cls = VGG16
+            trunk_kwargs["depths"] = VGG_DEPTHS[self.backbone]
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
         if self.remat:

@@ -1,37 +1,46 @@
-"""VGG16 backbone option (SURVEY.md §2.6), NHWC, exposing a 4-level pyramid.
+"""VGG backbone option (SURVEY.md §2.6), NHWC, exposing a 4-level pyramid.
 
-The reference offers a VGG16 variant alongside ResNet-50. The pyramid taps
-are conv3_3 (/4), conv4_3 (/8), conv5_3 (/16), and max-pooled conv5_3
-(/32) — pools are applied *before* each block (torchvision "features"
-layout) — so the FPN sees the same (/4, /8, /16, /32) stride set as
-ResNet's C2..C5. conv1/conv2 run at /1 and /2 and are not exposed.
+The reference offers a VGG16 variant alongside ResNet-50 (VGG19 is the
+same trunk with (2,2,4,4,4) convs per block). The pyramid taps are the
+last conv of block 3 (/4), block 4 (/8), block 5 (/16), and max-pooled
+block 5 (/32) — pools are applied *before* each block (torchvision
+"features" layout) — so the FPN sees the same (/4, /8, /16, /32) stride
+set as ResNet's C2..C5. conv1/conv2 run at /1 and /2 and are not exposed.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-class VGG16(nn.Module):
-    """VGG16 trunk returning a 4-level (C2..C5) pyramid at strides 4/8/16/32."""
+# convs per block, torchvision naming (the block/channel structure is
+# shared; depth is the only difference between family members)
+VGG_DEPTHS = {
+    "vgg16": (2, 2, 3, 3, 3),
+    "vgg19": (2, 2, 4, 4, 4),
+}
+_CHANNELS = (64, 128, 256, 512, 512)
 
+
+class VGG16(nn.Module):
+    """VGG trunk returning a 4-level (C2..C5) pyramid at strides 4/8/16/32.
+
+    ``depths`` selects the family member (VGG_DEPTHS); the class keeps its
+    historical VGG16 name the way ResNet50 hosts every ResNet depth."""
+
+    depths: Sequence[int] = VGG_DEPTHS["vgg16"]
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    bn_axis: str | None = None  # unused: classic VGG16 has no BatchNorm
+    bn_axis: str | None = None  # unused: classic VGG has no BatchNorm
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:
         del train  # VGG has no BatchNorm in the classic torchvision variant
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        cfg = [  # (block, [channels...])
-            (1, [64, 64]),
-            (2, [128, 128]),
-            (3, [256, 256, 256]),
-            (4, [512, 512, 512]),
-            (5, [512, 512, 512]),
-        ]
+        cfg = [(b + 1, [ch] * n)
+               for b, (n, ch) in enumerate(zip(self.depths, _CHANNELS))]
         feats = {}
         for block, chans in cfg:
             if block > 1:

@@ -121,3 +121,48 @@ def test_resnet18_style_conversion_matches_torch(rng):
         if "num_batches_tracked" in k:
             continue  # exporter synthesizes these (strict-load filler)
         np.testing.assert_array_equal(np.asarray(back[k]), sd[k], err_msg=k)
+
+
+def test_vgg_layout_reproduces_torchvision_indices():
+    """vgg_layout is the programmatic source of the historical hardcoded
+    table: torchvision vgg16 conv indices 0,2/5,7/10,12,14/17,19,21/
+    24,26,28 and the documented vgg19 indices."""
+    from basi_tpu.convert.torch_import import vgg_layout
+
+    assert [i for i, _ in vgg_layout((2, 2, 3, 3, 3))] == [
+        0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    v19 = vgg_layout((2, 2, 4, 4, 4))
+    assert [i for i, _ in v19] == [
+        0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    assert v19[-1][1] == "conv5_4"
+
+
+def test_vgg19_conversion_matches_torch(rng):
+    from basi_tpu.models.vgg import VGG_DEPTHS
+
+    tmodel = VGG16Features(VGG_DEPTHS["vgg19"]).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, _ = import_vgg16_backbone(sd, VGG_DEPTHS["vgg19"])
+    jmodel = VGG16(depths=VGG_DEPTHS["vgg19"])
+
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got = jmodel.apply({"params": params}, jnp.asarray(x), False)
+    for i, (g, w) in enumerate(zip(got, want)):
+        w = w.detach().permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(g), w, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"level {i}")
+
+
+def test_vgg19_export_roundtrip(rng):
+    """export(import(sd)) is bitwise the original torch state_dict."""
+    from basi_tpu.convert.torch_export import export_vgg16_backbone
+    from basi_tpu.models.vgg import VGG_DEPTHS
+
+    tmodel = VGG16Features(VGG_DEPTHS["vgg19"]).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, _ = import_vgg16_backbone(sd, VGG_DEPTHS["vgg19"])
+    back = export_vgg16_backbone(params, VGG_DEPTHS["vgg19"])
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k])

@@ -145,8 +145,10 @@ class TorchBASINet(nn.Module):
     def __init__(self, stage_sizes=(3, 4, 6, 3), fpn_ch=256, mask_ch=64,
                  grid=16, backbone="resnet", refine=False):
         super().__init__()
-        if backbone == "vgg16":
-            self.backbone = VGG16Features()
+        if backbone.startswith("vgg"):
+            depths = {"vgg16": (2, 2, 3, 3, 3),
+                      "vgg19": (2, 2, 4, 4, 4)}[backbone]
+            self.backbone = VGG16Features(depths)
             in_chs = [256, 512, 512, 512]
         else:
             self.backbone = ResNet50Trunk(stage_sizes)

@@ -99,29 +99,36 @@ class ResNet50Trunk(nn.Module):
 
 
 class VGG16Features(nn.Module):
-    """torchvision vgg16 .features with identical state_dict indices."""
+    """torchvision vgg16/19 .features with identical state_dict indices.
 
-    def __init__(self):
+    ``depths`` = convs per block ((2,2,3,3,3) vgg16, (2,2,4,4,4) vgg19);
+    taps are the post-ReLU outputs of the last conv in blocks 3/4/5
+    (indices 15/22/29 for vgg16 — the hardcoded values this class used
+    before it was depth-parameterized)."""
+
+    def __init__(self, depths=(2, 2, 3, 3, 3)):
         super().__init__()
-        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-               512, 512, 512, "M", 512, 512, 512]
+        chans = (64, 128, 256, 512, 512)
         layers = []
+        taps = []
         in_ch = 3
-        for v in cfg:
-            if v == "M":
+        for b, (n, ch) in enumerate(zip(depths, chans)):
+            if b > 0:
                 layers.append(nn.MaxPool2d(2, 2))
-            else:
-                layers.append(nn.Conv2d(in_ch, v, 3, padding=1))
+            for _ in range(n):
+                layers.append(nn.Conv2d(in_ch, ch, 3, padding=1))
                 layers.append(nn.ReLU(inplace=True))
-                in_ch = v
+                in_ch = ch
+            if b >= 2:  # post-ReLU of the block's last conv
+                taps.append(len(layers) - 1)
         self.features = nn.Sequential(*layers)
+        self._taps = tuple(taps)
 
     def forward(self, x):
-        taps = {15: None, 22: None, 29: None}  # conv3_3, conv4_3, conv5_3 post-relu
         out = []
         for i, layer in enumerate(self.features):
             x = layer(x)
-            if i in (15, 22, 29):
+            if i in self._taps:
                 out.append(x)
         c2, c3, c4 = out
         c5 = torch.nn.functional.max_pool2d(c4, 2, 2)
