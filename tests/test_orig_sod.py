@@ -58,13 +58,18 @@ def test_orig_frame_eval_program_direct():
         batch["masks"].astype(np.float32)
         * batch["valid"][:, :, None, None].astype(np.float32), axis=1)
     out = inf._orig_frame_eval(full, jnp.asarray(union), batch, ds)
-    iou, mae_per, f_mat, e_mat, s_per, bf_per, wf_per = (
+    iou, mae_per, f_mat, e_mat, s_per, bf_per, wf_per, gt_areas = (
         np.asarray(x) for x in out)
 
     n = 4
     assert iou.shape[0] == n and mae_per.shape == (n,)
     assert f_mat.shape == e_mat.shape and f_mat.shape[1] == n
     assert s_per.shape == bf_per.shape == wf_per.shape == (n,)
+    # gt_areas are NATIVE-frame pixel counts (size-binned AR geometry)
+    for j in range(n):
+        om, _ = ds.get_orig_masks(int(batch["index"][j]))
+        np.testing.assert_array_equal(
+            gt_areas[j], om.astype(np.int64).sum(axis=(1, 2)))
     # letterbox-frame MAE of this prob map vs letterbox GT is exactly 0;
     # at native resolution the resample mismatch must show up...
     assert mae_per.max() > 1e-4, mae_per
@@ -89,7 +94,7 @@ def test_orig_sod_empty_gt_edge_case():
     full = jnp.asarray(batch["masks"].astype(np.float32))
     sal = jnp.zeros((4,) + batch["masks"].shape[2:], jnp.float32)
     out = inf._orig_frame_eval(full, sal, batch, ds)
-    _, mae_per, f_mat, e_mat, s_per, bf_per, wf_per = (
+    _, mae_per, f_mat, e_mat, s_per, bf_per, wf_per, _ = (
         np.asarray(x) for x in out)
     for arr in (mae_per, e_mat, s_per, bf_per, wf_per):
         assert np.all(np.isfinite(arr)), arr
