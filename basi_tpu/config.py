@@ -58,6 +58,10 @@ class DataConfig:
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
     hflip_prob: float = 0.5
     scale_range: tuple[float, float] = (0.75, 1.25)
+    # beyond-reference: per-image brightness/contrast/saturation jitter
+    # strengths (torch-ColorJitter semantics, factors ~ U[1-x, 1+x];
+    # (0,0,0) = off). Applied on-device inside the train step.
+    color_jitter: tuple[float, float, float] = (0.0, 0.0, 0.0)
     multiscale: bool = False
     synthetic_n: int = 256  # synthetic train-split size (val = n // 4)
     prefetch_depth: int = 2  # double buffering

@@ -119,3 +119,75 @@ def space_to_depth_host(imgs: "np.ndarray", block: int = 2):
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return np.ascontiguousarray(x.reshape(n, h // block, w // block,
                                           block * block * c))
+
+
+# ITU-R BT.601 luma weights — torchvision's rgb_to_grayscale constants, so
+# the numpy pixel-space oracle in tests matches torch ColorJitter exactly.
+_LUMA = (0.2989, 0.587, 0.114)
+
+
+def color_jitter(key: jax.Array, images: jnp.ndarray,
+                 mean, std,
+                 brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0) -> jnp.ndarray:
+    """Per-image brightness/contrast/saturation jitter, applied DIRECTLY on
+    the normalized tensor (beyond-reference training aug; the reference has
+    only flip/scale — SURVEY §2.5).
+
+    Torch-ColorJitter semantics on [0, 1] pixels — brightness ``p*f``,
+    contrast ``mean_gray + (p - mean_gray)*f``, saturation
+    ``gray + (p - gray)*f`` with factors ~ U[max(0, 1-x), 1+x], applied in
+    that fixed order — are each affine in the pixel value, so they commute
+    exactly through the normalize affine ``(p - mean)/std``; this applies
+    the algebraically-identical transform post-normalization (tested vs a
+    pixel-space numpy oracle) and fuses into the surrounding elementwise
+    XLA ops instead of forcing a de-normalize/re-normalize round trip.
+
+    Accepts the raw (N, H, W, 3) layout or the host-packed s2d
+    (N, H/2, W/2, 12) layout: the four 3-channel sub-pixel blocks are
+    jittered with tiled constants (each packed lane is a real pixel, so
+    per-pixel gray and the image-mean gray are computed per block /
+    across all blocks respectively — identical to jittering before
+    packing, also tested).
+    """
+    if brightness <= 0 and contrast <= 0 and saturation <= 0:
+        return images
+    n, _, _, c = images.shape
+    if c % 3 != 0:
+        raise ValueError(f"color_jitter expects C % 3 == 0 layouts, got {c}")
+    reps = c // 3
+    f32 = jnp.float32
+    m = jnp.tile(jnp.asarray(mean, f32), reps)  # (C,)
+    s = jnp.tile(jnp.asarray(std, f32), reps)
+    w = jnp.tile(jnp.asarray(_LUMA, f32), reps)  # luma, per packed lane
+
+    def factor(k, strength):
+        lo = max(0.0, 1.0 - strength)
+        return jax.random.uniform(k, (n, 1, 1, 1), f32,
+                                  minval=lo, maxval=1.0 + strength)
+
+    kb, kc, ks = jax.random.split(key, 3)
+    x = images.astype(f32)
+
+    # Pixel-space gray per packed lane group: g = sum_c w_c (s_c x_c + m_c),
+    # computed per 3-channel block -> (N, H, W, reps).
+    def gray(xn):
+        px = xn * s + m  # back to pixel space, no materialized copy: fused
+        g = (px * w).reshape(*px.shape[:3], reps, 3).sum(-1)
+        return g
+
+    if brightness > 0:
+        f = factor(kb, brightness)
+        # p*f normalized: f*x + (f-1)*m/s
+        x = f * x + (f - 1.0) * (m / s)
+    if contrast > 0:
+        f = factor(kc, contrast)
+        # blend toward the image-mean gray (mean over all real pixels =
+        # mean over H, W and the packed sub-pixel blocks)
+        g0 = gray(x).mean(axis=(1, 2, 3)).reshape(n, 1, 1, 1)
+        x = f * x + (1.0 - f) * (g0 - m) / s
+    if saturation > 0:
+        f = factor(ks, saturation)
+        g = jnp.repeat(gray(x), 3, axis=-1)  # per-pixel gray, per lane
+        x = f * x + (1.0 - f) * (g - m) / s
+    return x.astype(images.dtype)

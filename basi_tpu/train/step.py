@@ -142,6 +142,15 @@ def make_train_step(
         norm = normalize_and_flip if use_pallas else normalize_and_flip_reference
         imgs = norm(batch["image"], flip, mean=mean, std=std,
                     out_dtype=model.dtype)
+        cj = tuple(getattr(cfg_data, "color_jitter", (0.0, 0.0, 0.0)))
+        if any(v > 0 for v in cj):
+            from basi_tpu.data.transforms import color_jitter
+
+            # fold_in (not split) keeps the flip/scale streams identical
+            # to a jitter-off run — turning jitter on must not reshuffle
+            # the other augmentations.
+            imgs = color_jitter(jax.random.fold_in(k_aug, 1), imgs,
+                                mean, std, *cj)
         gt_stats = None
         if cfg_data.multiscale:
             # Scale jitter resamples masks at full resolution; keep the
