@@ -112,6 +112,10 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: str = "./ckpt"
     checkpoint_every_steps: int = 0  # 0 -> per epoch
+    # Async orbax saves: save() returns after the host snapshot and the
+    # write overlaps the next steps; reads/close barrier on in-flight
+    # writes, so resume semantics are unchanged.
+    async_checkpoint: bool = False
     keep_checkpoints: int = 3
     resume: str = "auto"  # auto | none | <path>
     remat: bool = False  # jax.checkpoint the backbone to save HBM

@@ -398,9 +398,13 @@ class Inferencer:
             # process decodes only its own rows, but host AP accumulation
             # needs the GLOBAL validity flags — the replicated output is
             # the all_gather that provides them (and the single-host path
-            # uses the same fetch for uniformity).
+            # uses the same fetch for uniformity). GT pixel areas (for the
+            # size-binned AR) ride the same path for the same reason: an
+            # out-of-program reduce would come back batch-SHARDED on a
+            # mesh, and its shards are not process-addressable.
+            gt_areas = jnp.sum(gt_masks.astype(jnp.int32), axis=(2, 3))
             return (masks, scores, iou, mae_per, f_mat, e_mat, s_per,
-                    bf_per, wf_per, gt_valid, full_out, sal_out)
+                    bf_per, wf_per, gt_valid, full_out, sal_out, gt_areas)
 
         if self.mesh is None:
             self._eval_batch = jax.jit(eval_batch)
@@ -882,10 +886,11 @@ class Inferencer:
                     break
                 images, gmasks, gvalid, gvalid_hw = to_device_args(batch)
                 (masks, scores, iou, mae_per, f_mat, e_mat, s_per, bf_per,
-                 wf_per, gt_valid, full, sal_full) = self._eval_batch(
-                    self.params, self.batch_stats, images,
-                    gmasks, gvalid, gvalid_hw,
-                )
+                 wf_per, gt_valid, full, sal_full, gt_areas) = (
+                    self._eval_batch(
+                        self.params, self.batch_stats, images,
+                        gmasks, gvalid, gvalid_hw,
+                    ))
                 if results_path and full.ndim == 0:
                     # The fused eval program ships full-res masks only for
                     # the PNG/orig-AP configs (HBM: the tensor stays live
@@ -894,12 +899,6 @@ class Inferencer:
                     # kernel, one extra async dispatch per batch).
                     full = self._full_fn(masks)
                 del masks  # full-res ``full`` supersedes it in the drain
-                # GT pixel areas in the matching frame, for the size-binned
-                # AR metrics: one tiny async reduce that joins the drain's
-                # batched fetch. gmasks is the (possibly global) device
-                # array, so areas stay row-consistent with the replicated
-                # iou/valid outputs under multi-process eval.
-                gt_areas = jnp.sum(gmasks.astype(jnp.int32), axis=(2, 3))
                 if ap_orig:
                     # Swap the letterbox-frame metrics for original-frame
                     # ones — matching IoU AND the saliency suite — (async

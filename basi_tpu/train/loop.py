@@ -95,8 +95,10 @@ class Trainer:
             mesh=self.mesh, data_axis=cfg.parallel.data_axis,
         )
         self.ckpt = (
-            CheckpointManager(cfg.train.checkpoint_dir,
-                              keep=cfg.train.keep_checkpoints)
+            CheckpointManager(
+                cfg.train.checkpoint_dir,
+                keep=cfg.train.keep_checkpoints,
+                async_save=getattr(cfg.train, "async_checkpoint", False))
             if cfg.train.checkpoint_dir else None
         )
         if self.ckpt is not None:
@@ -155,10 +157,16 @@ class Trainer:
                 f"returned {total}, expected {n}")
 
     def close(self):
-        """Release observability sinks (JSONL handle, TB writer thread).
-        train() only FLUSHES so a Trainer stays reusable; the owner calls
-        close() when done with it (cli cmd_train does). Idempotent."""
+        """Release observability sinks (JSONL handle, TB writer thread)
+        and barrier + close the checkpoint manager (an async in-flight
+        save must commit before the owner's process exits, or the last
+        epoch's checkpoint is silently lost). train() only FLUSHES so a
+        Trainer stays reusable; the owner calls close() when done with it
+        (cli cmd_train does). Idempotent."""
         self.logger.close()
+        if self.ckpt is not None:
+            self.ckpt.close()
+            self.ckpt = None
 
     def train(self) -> dict:
         cfg = self.cfg

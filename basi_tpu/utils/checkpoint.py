@@ -20,28 +20,40 @@ from basi_tpu.train.state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3,
+                 async_save: bool = False):
+        """``async_save``: orbax async checkpointing — ``save`` returns as
+        soon as the state is snapshotted to host memory and the write
+        happens on a background thread, so a per-epoch save overlaps the
+        next epoch's steps instead of stalling them. Reads (latest_step /
+        restore) and close() barrier on any in-flight write first, so the
+        visible semantics match the sync mode."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self._async = bool(async_save)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=False
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=self._async,
             ),
         )
 
     def save(self, state: TrainState):
         step = int(jax.device_get(state.step))
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        if not self._async:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self._mgr.wait_until_finished()  # surface in-flight async writes
         return self._mgr.latest_step()
 
     def restore(self, template: TrainState, step: int | None = None) -> TrainState:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        self._mgr.wait_until_finished()  # never read a half-written step
         try:
             return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         except Exception as first_err:
@@ -81,6 +93,7 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        self._mgr.wait_until_finished()
         raw = self._mgr.restore(step, args=ocp.args.StandardRestore(None))
         ema = raw.get("ema_params")
         params = ema if ema else raw["params"]
@@ -110,6 +123,7 @@ class CheckpointManager:
             other.close()
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 
