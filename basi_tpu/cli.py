@@ -163,6 +163,14 @@ def cmd_import(args) -> int:
     from basi_tpu.models.resnet import STAGE_SIZES
 
     cfg = _build_cfg(args)
+    if (args.what == "full"
+            and getattr(cfg.model, "instance_mechanism", "kernels") == "roi"):
+        # The reference-style state_dict maps the kernel-mechanism heads;
+        # a roi model has roi_box/roi_mask heads with no torch counterpart.
+        raise ValueError(
+            "full import unsupported for model.instance_mechanism='roi' "
+            "(reference checkpoints carry kernel-mechanism heads); import "
+            "with --what backbone instead")
     if (args.what == "full" and cfg.model.backbone not in STAGE_SIZES
             and cfg.model.backbone not in ("vgg16", "vgg19")):
         # Fail BEFORE loading the torch file: import_basinet only maps

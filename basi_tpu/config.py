@@ -27,12 +27,15 @@ class ModelConfig:
     # layout copies. s2d stays available (bit-exact, tested) — revisit if
     # the ingest step learns to emit s2d layout directly.
     stem_mode: str = "conv7"  # conv7 | s2d
-    # Instance extraction mechanism (SURVEY §2.8): "kernels" = cell-grid
-    # dynamic-kernel head + mask NMS; "connected" = connected components
-    # of the thresholded saliency map (ops/connected.py) — the swap hedge
-    # behind the same (masks, scores) slot contract. Inference-time only;
-    # training always supervises the kernel head.
-    instance_mechanism: str = "kernels"  # kernels | connected
+    # Instance extraction mechanism (SURVEY §2.8 — all three candidates):
+    # "kernels" = cell-grid dynamic-kernel head + mask NMS; "connected" =
+    # connected components of the thresholded saliency map (postproc-only,
+    # training still supervises the kernel head); "roi" = S4Net-style
+    # proposal boxes + ROI mask head (own trainable heads + box loss).
+    # All three fill the same (masks, scores) slot contract downstream.
+    instance_mechanism: str = "kernels"  # kernels | connected | roi
+    roi_resolution: int = 28  # roi mechanism: ROI-frame mask size R
+    roi_top_k: int = 64  # roi mechanism: proposals kept at inference
     # BASNet-style residual refinement module on the fused saliency map
     # (models/heads.py RefineHead): refined = coarse + RRM(sigmoid(coarse)).
     refine: bool = False
@@ -89,6 +92,7 @@ class TrainConfig:
     score_loss_weight: float = 1.0
     mask_loss_weight: float = 3.0
     saliency_loss_weight: float = 1.0
+    box_loss_weight: float = 1.0  # roi mechanism: (1 - IoU) box regression
     # Instance mask loss applies only the top-P positive cells' dynamic
     # kernels instead of materializing all S*S candidate masks (identical
     # loss while #positives <= P; 0 restores the dense path).

@@ -80,6 +80,11 @@ def export_basinet(params: dict, batch_stats: dict,
                    backbone: str = "resnet50") -> dict:
     """Full BASINet variables -> torch state_dict (reference-style module
     names, the exact inverse of full_import.import_basinet)."""
+    if "instance" not in params:
+        raise ValueError(
+            "torch export maps the reference's (kernel-mechanism) module "
+            "names; this checkpoint has no 'instance' head — models built "
+            "with model.instance_mechanism='roi' have no torch counterpart")
     out: dict = {}
     if backbone.startswith("vgg"):
         from basi_tpu.models.vgg import VGG_DEPTHS

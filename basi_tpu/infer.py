@@ -155,12 +155,18 @@ class Inferencer:
         from basi_tpu.models.resnet import space_to_depth
 
         mechanism = getattr(cfg.model, "instance_mechanism", "kernels")
-        if mechanism not in ("kernels", "connected"):
+        if mechanism not in ("kernels", "connected", "roi"):
             raise ValueError(
                 f"model.instance_mechanism={mechanism!r} "
-                f"(expected 'kernels' or 'connected')")
+                f"(expected 'kernels', 'connected' or 'roi')")
 
         tta_flip = icfg.tta == "hflip"
+        if mechanism == "roi" and (tta_flip or getattr(icfg, "tta_scales", ())):
+            # The TTA ensemble realigns cell KERNELS/saliency across views;
+            # ROI boxes/crops don't compose that way (each view would need
+            # its own proposal set realigned in box space) — unsupported.
+            raise ValueError("infer.tta is not supported with "
+                             "model.instance_mechanism='roi'")
         if icfg.tta not in ("", "hflip"):
             raise ValueError(
                 f"infer.tta={icfg.tta!r} (expected '' or 'hflip')")
@@ -309,6 +315,34 @@ class Inferencer:
                 keep = scores >= icfg.score_threshold
                 scores = jnp.where(keep, scores, 0.0)
                 masks = masks * keep[..., None, None].astype(masks.dtype)
+                return masks, scores, out.saliency_logits
+            if mechanism == "roi":
+                # §2.8 candidate (b): the model proposed top-k boxes and
+                # predicted ROI-frame masks; paste their sigmoid probs onto
+                # /4 canvases (ops/roi.py inverse sampler) and run the SAME
+                # rescoring/NMS/slot tail as the kernel mechanism.
+                from basi_tpu.ops.nms import select_instances_from_probs
+                from basi_tpu.ops.roi import paste_rois
+
+                h4, w4 = out.mask_feats.shape[1:3]
+                probs = jax.nn.sigmoid(
+                    out.roi_mask_logits.astype(jnp.float32)
+                ).astype(compute_dtype)
+                canv = jax.vmap(
+                    lambda pr, bx: paste_rois(pr, bx, (h4, w4))
+                )(probs, out.roi_boxes)
+                obj = jax.nn.sigmoid(out.roi_scores.astype(jnp.float32))
+                masks, scores = jax.vmap(
+                    lambda m, sc: select_instances_from_probs(
+                        m, sc,
+                        num_slots=cfg.model.num_slots,
+                        score_threshold=icfg.score_threshold,
+                        mask_threshold=icfg.mask_threshold,
+                        nms=icfg.nms,
+                        nms_sigma=icfg.nms_sigma,
+                        nms_iou_threshold=icfg.nms_iou_threshold,
+                    )
+                )(canv, obj)
                 return masks, scores, out.saliency_logits
             n, s1, s2, e = out.cell_kernels.shape
             masks, scores = jax.vmap(

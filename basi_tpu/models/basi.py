@@ -33,9 +33,14 @@ class BASIOutputs(NamedTuple):
     saliency_logits: jnp.ndarray  # (N, H/4, W/4, 1) fused saliency
     saliency_aux: tuple[jnp.ndarray, ...]  # per-level deep supervision at /4
     cell_scores: jnp.ndarray  # (N, S, S, 1) objectness logits
-    cell_kernels: jnp.ndarray  # (N, S, S, E) dynamic mask kernels
+    cell_kernels: jnp.ndarray | None  # (N, S, S, E) dynamic mask kernels
     mask_feats: jnp.ndarray  # (N, H/4, W/4, E) unified mask features
     mask_logits: jnp.ndarray | None  # (N, S*S, H/4, W/4) candidates (None when skipped)
+    # ROI mechanism outputs (model.instance_mechanism="roi"; None otherwise)
+    cell_boxes: jnp.ndarray | None = None  # (N, S, S, 4) decoded (y0,x0,y1,x1)
+    roi_boxes: jnp.ndarray | None = None  # (N, K, 4) top-k boxes (inference)
+    roi_scores: jnp.ndarray | None = None  # (N, K) top-k score logits (inference)
+    roi_mask_logits: jnp.ndarray | None = None  # (N, K, R, R) ROI-frame masks
 
 
 class BASINet(nn.Module):
@@ -56,16 +61,28 @@ class BASINet(nn.Module):
     # refined = coarse + RefineHead(sigmoid(coarse)). The coarse map joins
     # the deep-supervision aux list in training.
     refine: bool = False
+    # SURVEY §2.8 swap interface: "kernels" (cell-grid dynamic kernels,
+    # default), "roi" (S4Net-style proposals + ROI mask head — candidate
+    # (b)). "connected" needs no model changes (postproc-only hedge).
+    instance_mechanism: str = "kernels"
+    roi_resolution: int = 28  # ROI-frame mask size R (roi mechanism)
+    roi_top_k: int = 64  # proposals kept at inference (roi mechanism)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, train: bool = False,
-                 with_candidates: bool = True) -> BASIOutputs:
+                 with_candidates: bool = True,
+                 roi_boxes: jnp.ndarray | None = None) -> BASIOutputs:
         """``with_candidates=False`` skips materializing the (N, S*S, H, W)
         candidate-mask tensor — the dominant HBM traffic — for inference
         paths that apply only the top-k kernels after selection
-        (ops.nms.select_instances_from_kernels)."""
+        (ops.nms.select_instances_from_kernels).
+
+        ``roi_boxes`` (roi mechanism, training): (N, P, 4) normalized boxes
+        — the loss's assigned GT boxes — at which the ROI mask head
+        predicts; at inference the model selects its own top-k proposal
+        boxes from the box head instead."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         trunk_kwargs = dict(name="backbone", bn_axis=self.bn_axis, **kw)
         from basi_tpu.models.resnet import BLOCK_KIND, STAGE_SIZES
@@ -109,6 +126,44 @@ class BASINet(nn.Module):
         mask_feats = MaskFeatureHead(
             embed_dim=self.mask_channels, name="maskfeat", **kw
         )(pyramid)
+
+        if self.instance_mechanism == "roi":
+            from basi_tpu.models.heads import RoiBoxHead, RoiMaskHead
+            from basi_tpu.ops.roi import decode_cell_boxes
+
+            cell_scores, box_raw = RoiBoxHead(
+                grid_size=self.grid_size, name="roi_box", **kw,
+            )(pyramid[1])
+            cell_boxes = decode_cell_boxes(box_raw, self.grid_size)
+            roi_head = RoiMaskHead(
+                resolution=self.roi_resolution,
+                channels=self.mask_channels, name="roi_mask", **kw)
+            top_boxes = top_scores = None
+            if roi_boxes is None:
+                # Inference (and init): the model proposes — top-k cells by
+                # objectness, their decoded boxes feed the ROI mask head.
+                n = cell_scores.shape[0]
+                ss = self.grid_size * self.grid_size
+                k = min(self.roi_top_k, ss)
+                flat_scores = cell_scores.reshape(n, ss).astype(jnp.float32)
+                top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+                roi_boxes = jnp.take_along_axis(
+                    cell_boxes.reshape(n, ss, 4), top_idx[..., None], axis=1)
+                top_boxes = roi_boxes
+            roi_logits = roi_head(mask_feats, roi_boxes)
+            return BASIOutputs(
+                saliency_logits=sal_logits,
+                saliency_aux=tuple(sal_aux),
+                cell_scores=cell_scores,
+                cell_kernels=None,
+                mask_feats=mask_feats,
+                mask_logits=None,
+                cell_boxes=cell_boxes,
+                roi_boxes=top_boxes,
+                roi_scores=top_scores,
+                roi_mask_logits=roi_logits,
+            )
+
         cell_scores, cell_kernels = InstanceKernelHead(
             grid_size=self.grid_size, embed_dim=self.mask_channels,
             name="instance", **kw,
@@ -136,6 +191,9 @@ def create_model(cfg) -> BASINet:
         remat=getattr(cfg, "remat", False),
         stem_mode=getattr(cfg, "stem_mode", "conv7"),
         refine=getattr(cfg, "refine", False),
+        instance_mechanism=getattr(cfg, "instance_mechanism", "kernels"),
+        roi_resolution=getattr(cfg, "roi_resolution", 28),
+        roi_top_k=getattr(cfg, "roi_top_k", 64),
         dtype=jnp.dtype(cfg.dtype),
         param_dtype=jnp.dtype(cfg.param_dtype),
     )

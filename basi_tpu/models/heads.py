@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from basi_tpu.ops.resize import resize_bilinear
@@ -168,6 +169,86 @@ class InstanceKernelHead(nn.Module):
                           kernel_init=_pred_kernel_init,
                           name="kernel", **kw)(x)
         return scores, kernels
+
+
+class RoiBoxHead(nn.Module):
+    """Cell-grid proposal head for the ROI instance mechanism (§2.8 (b)).
+
+    Same fixed S x S cell grid and conv tower as InstanceKernelHead, but
+    each cell predicts an objectness score and an UNCONSTRAINED (l, t, r, b)
+    box-distance tensor instead of a dynamic mask kernel (FCOS-style,
+    anchor-free; decode via ops.roi.decode_cell_boxes). Static shapes: the
+    grid IS the proposal set, top-k replaces dynamic proposal counts.
+    """
+
+    grid_size: int = 16
+    channels: int = 128
+    tower_depth: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        n, h, w, _ = feat.shape
+        x = jnp.concatenate([feat, coord_features(n, h, w, feat.dtype)], axis=-1)
+        x = resize_bilinear(x, (self.grid_size, self.grid_size))
+        for i in range(self.tower_depth):
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        name=f"tower{i}", **kw)(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"gn{i}")(x)
+            x = nn.relu(x)
+        scores = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                         kernel_init=_pred_kernel_init,
+                         bias_init=_focal_prior_bias, name="score", **kw)(x)
+        # near-zero init -> softplus decode starts every cell at a small
+        # centered box (a stable anchor-free init; exp-decode explodes).
+        boxes = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                        kernel_init=_pred_kernel_init, name="box", **kw)(x)
+        return scores, boxes
+
+
+class RoiMaskHead(nn.Module):
+    """Per-ROI mask FCN over cropped unified mask features (§2.8 (b)).
+
+    Boxes crop the (N, H/4, W/4, E) mask features to R x R via the
+    separable-matmul roi_align (ops/roi.py — the torchvision-roi_align
+    native-op equivalent, SURVEY §2.16), then a small conv tower + 1x1
+    predicts one mask logit map per ROI in the ROI frame. K is static.
+    """
+
+    resolution: int = 28
+    channels: int = 64
+    tower_depth: int = 2
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mask_feats: jnp.ndarray,
+                 boxes: jnp.ndarray) -> jnp.ndarray:
+        """mask_feats: (N, H, W, E); boxes: (N, K, 4) normalized
+        (y0, x0, y1, x1). Returns (N, K, R, R) mask logits."""
+        from basi_tpu.ops.roi import roi_align
+
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        n, k, _ = boxes.shape
+        r = self.resolution
+        # Boxes are selection/GT coordinates, not a gradient path: the mask
+        # loss should shape the features and the tower, box geometry is
+        # supervised by its own IoU loss.
+        crops = jax.vmap(lambda f, b: roi_align(f, b, r))(
+            mask_feats, jax.lax.stop_gradient(boxes))
+        x = crops.reshape(n * k, r, r, crops.shape[-1])
+        for i in range(self.tower_depth):
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        name=f"tower{i}", **kw)(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"gn{i}")(x)
+            x = nn.relu(x)
+        out = nn.Conv(1, (1, 1), kernel_init=_pred_kernel_init,
+                      name="out", **kw)(x)
+        return out.reshape(n, k, r, r)
 
 
 class RefineHead(nn.Module):

@@ -21,11 +21,31 @@ from jax import lax
 _EPS = 1e-6
 
 
+def _psum_value_local_grad(num: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """psum for the VALUE, local term for the GRADIENT.
+
+    Never differentiate through ``lax.psum``: under ``shard_map`` with
+    check_vma=False its transpose is another psum, so the (replicated)
+    loss cotangent reaching each shard's numerator is multiplied by the
+    axis size — measured as an EXACT Nx gradient overcount on the N-device
+    mesh (uniform across every loss term, so saturated grad-clipping in
+    the early parity tests normalized it away; unclipped DP training had
+    an effective lr scaled by N vs the single-device run). Routing the
+    gradient through the local numerator and adding the cross-shard
+    remainder under stop_gradient keeps the exact global VALUE while each
+    shard's gradient is exactly its local CONTRIBUTION (what the train
+    step's grads-psum assumes), independent of psum transpose semantics.
+    """
+    total = lax.psum(num, axis_name)
+    return num + lax.stop_gradient(total - num)
+
+
 def _ratio(num: jnp.ndarray, den: jnp.ndarray, axis_name: str | None) -> jnp.ndarray:
-    """num/den with both sides psum-ed over the data axis first."""
+    """num/den, both sides globally summed over the data axis first
+    (value = exact global-batch ratio; gradient = local contribution)."""
     if axis_name:
-        num = lax.psum(num, axis_name)
-        den = lax.psum(den, axis_name)
+        num = _psum_value_local_grad(num, axis_name)
+        den = lax.psum(den, axis_name)  # weights/counts: param-free
     return num / jnp.maximum(den, _EPS)
 
 
@@ -80,8 +100,8 @@ def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     num = jnp.sum(loss)
     num_pos = jnp.sum(t)
     if axis_name:
-        num = lax.psum(num, axis_name)
-        num_pos = lax.psum(num_pos, axis_name)
+        num = _psum_value_local_grad(num, axis_name)
+        num_pos = lax.psum(num_pos, axis_name)  # targets: param-free
     return num / jnp.maximum(num_pos, 1.0)
 
 

@@ -241,6 +241,29 @@ def _select_from_probs(top_probs, obj_scores, num_slots, score_threshold,
     return slot_masks, slot_scores
 
 
+@functools.partial(jax.jit, static_argnames=("num_slots", "nms"))
+def select_instances_from_probs(
+    mask_probs: jnp.ndarray,
+    obj_scores: jnp.ndarray,
+    num_slots: int = 20,
+    score_threshold: float = 0.1,
+    mask_threshold: float = 0.5,
+    nms: str = "matrix",
+    nms_sigma: float = 2.0,
+    nms_iou_threshold: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Selection tail for mechanisms that already hold per-candidate
+    probability masks in the model frame (the ROI mechanism pastes its
+    ROI-frame sigmoid masks to /4 first): quality rescoring + NMS + slot
+    packing, ONE image. mask_probs: (C, H, W) probs; obj_scores: (C,)
+    probabilities. Returns the standard (num_slots, H, W) / (num_slots,)
+    slot contract; vmap over the batch."""
+    return _select_from_probs(
+        mask_probs, obj_scores.astype(jnp.float32), num_slots,
+        score_threshold, mask_threshold, nms, nms_sigma, nms_iou_threshold,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_slots", "nms", "pre_top_k"))
 def select_instances(
     mask_logits: jnp.ndarray,

@@ -83,7 +83,14 @@ def _dispatch(x, f, interpret):
     # column intermediate + phase/stack buffers must fit under the 16 MB
     # scoped-vmem limit even before blocking can shrink them further.
     scoped_floor = f * ww * n * max(c, 128) * 4 * (3 + 2 * f)
-    if (layout_mode == "hwnc" and in_block <= 24 * 1024 * 1024
+    # n <= 8: the batch-16 inference program OOMs vmem on a (64,64,2048)
+    # hwnc call whose IDENTICAL kernel shape compiles fine inside the
+    # batch-8 program ((8,64,64,256) vs (16,64,64,128)) — the failure is
+    # program-level VMEM pressure around the custom call, not kernel
+    # arithmetic, so shape-local budgets cannot gate it. Larger batches
+    # take the per-image-grid nhwc kernel.
+    if (layout_mode == "hwnc" and n <= 8
+            and in_block <= 24 * 1024 * 1024
             and scoped_floor <= 14 * 1024 * 1024):
         return _upsample_int_impl_hwnc(x, f, interpret)
     return _upsample_int_impl(x, f, interpret)

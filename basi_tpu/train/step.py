@@ -63,26 +63,71 @@ def make_train_step(
 
     max_pos = getattr(cfg_train, "max_pos_cells", 64)
     ema_decay = float(getattr(cfg_train, "ema_decay", 0.0))
+    roi_mode = getattr(model, "instance_mechanism", "kernels") == "roi"
+
+    def _apply(params, batch_stats, images, **apply_kw):
+        if frozen_bn:
+            # No collection mutates: running stats pass through the carry.
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                **apply_kw)
+            return out, batch_stats
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            mutable=["batch_stats"], **apply_kw)
+        return out, mutated["batch_stats"]
 
     def loss_fn(params, batch_stats, images, gt_masks, gt_valid,
                 gt_stats=None):
-        apply_kw = dict(
+        if roi_mode:
+            # ROI mechanism: assignment runs FIRST (it only reads GT) —
+            # the model's ROI mask head then predicts at the assigned GT
+            # boxes (Mask-R-CNN-style mask supervision at GT geometry).
+            from basi_tpu.train.loss import basi_roi_loss
+            from basi_tpu.train.targets import assign_targets_roi
+
+            s = model.grid_size
+            # mask-feature resolution: /4 of the raw image (s2d-packed
+            # input carries H/2 x W/2 x 12, i.e. /2 more to go).
+            div = 2 if images.shape[-1] == 12 else 4
+            mhw = (images.shape[1] // div, images.shape[2] // div)
+            p_cells = max_pos if max_pos > 0 else 64
+            if gt_stats is None:
+                parts = jax.vmap(
+                    lambda gm, gv: assign_targets_roi(
+                        gm, gv, grid_size=s, mask_hw=mhw,
+                        max_pos_cells=p_cells)
+                )(gt_masks, gt_valid)
+            else:
+                parts = jax.vmap(
+                    lambda gm, gv, st: assign_targets_roi(
+                        gm, gv, grid_size=s, mask_hw=mhw,
+                        max_pos_cells=p_cells, stats=st)
+                )(gt_masks, gt_valid, gt_stats)
+            tgt = dict(zip(
+                ("sel_idx", "tgt_masks", "pos_sel", "score_tgt",
+                 "num_pos", "sel_boxes"), parts))
+            out, new_stats = _apply(params, batch_stats, images,
+                                    train=True, roi_boxes=tgt["sel_boxes"])
+            loss, metrics = basi_roi_loss(
+                out, tgt, gt_masks, gt_valid,
+                loss_kind=cfg_train.loss,
+                mask_weight=cfg_train.mask_loss_weight,
+                score_weight=cfg_train.score_loss_weight,
+                box_weight=getattr(cfg_train, "box_loss_weight", 1.0),
+                saliency_weight=cfg_train.saliency_loss_weight,
+                axis_name=axis_name,
+            )
+            return loss, (metrics, new_stats)
+
+        out, new_stats = _apply(
+            params, batch_stats, images,
             train=True,
             # Never materialize the (S*S, h, w) candidate tensor in
             # training: the loss applies only the positive cells' kernels
             # (basi_loss sparse path; max_pos_cells=0 restores dense).
             with_candidates=(max_pos <= 0),
         )
-        if frozen_bn:
-            # No collection mutates: running stats pass through the carry.
-            out = model.apply(
-                {"params": params, "batch_stats": batch_stats}, images,
-                **apply_kw)
-            mutated = {"batch_stats": batch_stats}
-        else:
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": batch_stats}, images,
-                mutable=["batch_stats"], **apply_kw)
         loss, metrics = basi_loss(
             out, gt_masks, gt_valid,
             loss_kind=cfg_train.loss,
@@ -93,7 +138,7 @@ def make_train_step(
             max_pos_cells=max_pos,
             gt_stats=gt_stats,
         )
-        return loss, (metrics, mutated["batch_stats"])
+        return loss, (metrics, new_stats)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -182,8 +227,14 @@ def make_train_step(
 
             m_u8 = batch["masks"]
             gt_stats = jax.vmap(instance_stats)(m_u8, batch["valid"])
-            gt_stats["cx"] = jnp.where(
-                flip[:, None] > 0, 1.0 - gt_stats["cx"], gt_stats["cx"])
+            fx = flip[:, None] > 0
+            gt_stats["cx"] = jnp.where(fx, 1.0 - gt_stats["cx"],
+                                       gt_stats["cx"])
+            # Mirror the bbox x-corners too (ROI box targets): the flipped
+            # left edge is 1 minus the original right edge.
+            x0, x1 = gt_stats["x0"], gt_stats["x1"]
+            gt_stats["x0"] = jnp.where(fx, 1.0 - x1, x0)
+            gt_stats["x1"] = jnp.where(fx, 1.0 - x0, x1)
             f = 4  # mask-feature stride (BASIOutputs.mask_feats is H/4)
             small = maxpool_hw(m_u8, f, f)
             small = jnp.where(flip[:, None, None, None] > 0,

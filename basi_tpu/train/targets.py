@@ -53,10 +53,20 @@ def instance_stats(gt_masks: jnp.ndarray, gt_valid: jnp.ndarray):
     x_min = jnp.min(jnp.where(col_any, x_idx, big), axis=1)
     x_max = jnp.max(jnp.where(col_any, x_idx, -big), axis=1)
     valid = gt_valid.astype(jnp.float32) * (area > 0)
+    # Tight bbox corners in normalized coords (used as ROI box-regression
+    # targets, §2.8 candidate (b)): pixel-center extrema widened by the
+    # half-pixel so the box covers full pixels. Invalid slots clamp to an
+    # empty box at the origin.
+    hp_y = 0.5 / h
+    hp_x = 0.5 / w
     return {
         "cy": cy, "cx": cx,
         "eh": jnp.maximum(y_max - y_min, 0.0),
         "ew": jnp.maximum(x_max - x_min, 0.0),
+        "y0": jnp.where(valid > 0, jnp.maximum(y_min - hp_y, 0.0), 0.0),
+        "x0": jnp.where(valid > 0, jnp.maximum(x_min - hp_x, 0.0), 0.0),
+        "y1": jnp.where(valid > 0, jnp.minimum(y_max + hp_y, 1.0), 0.0),
+        "x1": jnp.where(valid > 0, jnp.minimum(x_max + hp_x, 1.0), 0.0),
         "area": area, "valid": valid,
     }
 
@@ -177,6 +187,44 @@ def assign_targets_sparse(
     pos_sel = cell_pos[sel_idx]
     tgt_sel = small[flat_winner[sel_idx]] * pos_sel[:, None, None]
     return sel_idx, tgt_sel, pos_sel, cell_score_tgt, jnp.sum(cell_pos)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("grid_size", "mask_hw", "max_pos_cells"))
+def assign_targets_roi(
+    gt_masks: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    grid_size: int = 16,
+    mask_hw: tuple[int, int] = (128, 128),
+    center_sigma: float = 0.2,
+    max_pos_cells: int = 64,
+    stats: dict | None = None,
+):
+    """Targets for the ROI mechanism (§2.8 candidate (b)), one image.
+
+    Same center-region cell assignment as the kernel mechanism (the cell
+    grid doubles as the anchor-free proposal grid), plus each selected
+    cell's GT BOX — the ROI mask head trains at GT boxes (the Mask-R-CNN
+    recipe: mask supervision at sampled GT geometry, box regression
+    supervised separately).
+
+    Returns (sel_idx (P,), tgt_masks (P, h, w) /4-res winner masks,
+    pos_sel (P,), cell_score_tgt (S, S, 1), num_pos (),
+    sel_boxes (P, 4) normalized (y0, x0, y1, x1)).
+    """
+    if stats is None:
+        stats = instance_stats(gt_masks, gt_valid)
+    small, flat_winner, cell_pos, cell_score_tgt = _assignment_core(
+        gt_masks, gt_valid, grid_size, mask_hw, center_sigma, stats)
+    order = jnp.argsort(-cell_pos, stable=True)
+    sel_idx = order[:max_pos_cells].astype(jnp.int32)
+    pos_sel = cell_pos[sel_idx]
+    win = flat_winner[sel_idx]
+    tgt_sel = small[win] * pos_sel[:, None, None]
+    boxes = jnp.stack(
+        [stats["y0"], stats["x0"], stats["y1"], stats["x1"]], axis=-1)
+    sel_boxes = boxes[win] * pos_sel[:, None]
+    return sel_idx, tgt_sel, pos_sel, cell_score_tgt, jnp.sum(cell_pos), sel_boxes
 
 
 def assign_targets_batch(gt_masks, gt_valid, grid_size, mask_hw,

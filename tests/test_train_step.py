@@ -74,6 +74,50 @@ def test_shard_map_matches_single_device(setup):
                                    atol=5e-6, rtol=1e-4)
 
 
+def test_shard_map_matches_single_device_unclipped(setup):
+    """Parity WITHOUT grad clipping / weight decay / momentum — the update
+    IS the raw gradient, so any uniform mis-scaling of the DP gradient is
+    visible. The clipped variant above once masked an EXACT 8x overcount:
+    differentiating through the loss's psum under shard_map
+    (check_vma=False) multiplies every cotangent by the axis size, and
+    saturated clip-by-global-norm normalizes a uniform factor away
+    (ops/losses.py ``_psum_value_local_grad``). This test pins the fix."""
+    import dataclasses
+
+    cfg, model, _, _ = setup
+    train_cfg = dataclasses.replace(
+        cfg.train, grad_clip_norm=0.0, weight_decay=0.0, momentum=0.0)
+    data_cfg = dataclasses.replace(cfg.data, hflip_prob=0.0, multiscale=False)
+    tx, _ = make_optimizer(train_cfg, max_steps=10)
+    # fresh state: the optax chain differs from the fixture's (no clip)
+    state0 = create_train_state(model, cfg.model, train_cfg, max_steps=10)
+    mesh = make_mesh(8, "data")
+    batch = {k: jnp.asarray(v)
+             for k, v in tiny_batch(np.random.RandomState(3)).items()}
+
+    single = make_train_step(model, tx, train_cfg, data_cfg, mesh=None,
+                             donate=False)
+    sharded = make_train_step(model, tx, train_cfg, data_cfg, mesh=mesh,
+                              donate=False)
+    s1, _ = single(state0, batch)
+    s8, _ = sharded(state0, batch)
+    # raw-gradient updates: compare the UPDATE (new - old), so a uniform
+    # grad scale factor cannot hide behind big param values. The NORM
+    # equality is the scale pin (an Nx overcount shifts it by exactly N);
+    # per-element tolerance must absorb f32 cancellation noise through the
+    # sync-BN backward (per-shard stats + psum vs one fused batch reduce:
+    # measured up to ~1.3e-5 abs on near-cancelling 1e-4 updates).
+    n1 = n8 = 0.0
+    for a, b, p in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params),
+                       jax.tree.leaves(state0.params)):
+        da = np.asarray(a) - np.asarray(p)
+        db = np.asarray(b) - np.asarray(p)
+        n1 += float(np.sum(da * da))
+        n8 += float(np.sum(db * db))
+        np.testing.assert_allclose(da, db, atol=5e-5, rtol=0.15)
+    np.testing.assert_allclose(np.sqrt(n8), np.sqrt(n1), rtol=1e-4)
+
+
 def test_batch_stats_pmean_synced(setup):
     cfg, model, tx, state0 = setup
     mesh = make_mesh(8, "data")
