@@ -97,15 +97,30 @@ def cmd_predict(args) -> int:
 
 def cmd_export(args) -> int:
     """Convert a Trainer checkpoint to a bare params export for serving,
-    or (``--torch out.pth``) to a torch state_dict — the inverse of
+    (``--torch out.pth``) to a torch state_dict — the inverse of
     ``basi import``, so TPU-trained weights load back into a torch
-    BASINet for independent verification."""
+    BASINet for independent verification — or (``--aot out.basiaot``) to
+    a self-contained jax.export AOT serving artifact (convert/aot.py)."""
     import dataclasses
 
     from basi_tpu.infer import Inferencer
     from basi_tpu.utils.checkpoint import export_params
 
     cfg = _build_cfg(args)
+    if args.aot:
+        # The AOT artifact IS the serving program: it bakes weights at the
+        # configured infer.dtype (bf16 default — the deployment precision),
+        # unlike the orbax/torch exports below which must stay f32 masters.
+        from basi_tpu.convert.aot import save_serving
+
+        plats = tuple(p for p in args.platforms.split(",") if p)
+        meta = save_serving(
+            args.aot, cfg, checkpoint=args.checkpoint,
+            batch_size=args.aot_batch, platforms=plats or None)
+        print(json.dumps({"exported_aot": args.aot, **{
+            k: meta[k] for k in ("batch_size", "model_size", "platforms",
+                                 "infer_dtype", "instance_mechanism")}}))
+        return 0
     # Export must carry full-precision weights: Inferencer casts params to
     # infer.dtype (default bfloat16) in place for its compute path, which
     # would silently bake a precision-degraded checkpoint. Force f32 here;
@@ -113,7 +128,8 @@ def cmd_export(args) -> int:
     cfg = dataclasses.replace(
         cfg, infer=dataclasses.replace(cfg.infer, dtype="float32"))
     if not args.torch and not args.out:
-        raise SystemExit("export needs --out (orbax) or --torch (.pth)")
+        raise SystemExit("export needs --out (orbax), --torch (.pth) "
+                         "or --aot (.basiaot)")
     if args.torch:
         from basi_tpu.models.resnet import STAGE_SIZES
 
@@ -268,7 +284,8 @@ def cmd_serve(args) -> int:
 
     cfg = _build_cfg(args)
     return serve_forever(cfg, checkpoint=args.checkpoint,
-                         host=args.host, port=args.port)
+                         host=args.host, port=args.port,
+                         aot_path=args.aot)
 
 
 def cmd_bench(args) -> int:
@@ -336,6 +353,16 @@ def main(argv=None) -> int:
     p_exp.add_argument("--torch", default="",
                        help="write a torch state_dict .pth instead "
                             "(inverse of `basi import`)")
+    p_exp.add_argument("--aot", default="",
+                       help="write a self-contained jax.export AOT serving "
+                            "artifact (.basiaot): full inference program + "
+                            "weights, loadable with jax alone")
+    p_exp.add_argument("--aot-batch", type=int, default=0,
+                       help="serving batch size baked into the AOT program "
+                            "(default: infer.batch_size)")
+    p_exp.add_argument("--platforms", default="",
+                       help="comma-separated AOT lowering targets, e.g. "
+                            "tpu,cpu (default: current backend)")
     p_exp.set_defaults(fn=cmd_export)
 
     p_imp = sub.add_parser(
@@ -350,6 +377,9 @@ def main(argv=None) -> int:
     p_srv = sub.add_parser("serve", help="HTTP serving endpoint")
     _add_common(p_srv)
     p_srv.add_argument("--checkpoint", default="", help="orbax params dir")
+    p_srv.add_argument("--aot", default="",
+                       help="serve a `basi export --aot` artifact instead "
+                            "of a checkpoint")
     p_srv.add_argument("--host", default="127.0.0.1")
     p_srv.add_argument("--port", type=int, default=8000)
     p_srv.set_defaults(fn=cmd_serve)

@@ -120,6 +120,13 @@ class TrainConfig:
     # write overlaps the next steps; reads/close barrier on in-flight
     # writes, so resume semantics are unchanged.
     async_checkpoint: bool = False
+    # Preemption-safe training (TPU pods are routinely preempted with
+    # SIGTERM): when on, train() installs a SIGTERM handler that finishes
+    # the in-flight dispatch, commits a checkpoint at the current step,
+    # flushes metrics, and returns cleanly — `--resume auto` then continues
+    # mid-epoch from that exact step. Handler installs on the main thread
+    # only (Python signal rule) and the previous handler is restored.
+    save_on_preemption: bool = True
     keep_checkpoints: int = 3
     resume: str = "auto"  # auto | none | <path>
     remat: bool = False  # jax.checkpoint the backbone to save HBM

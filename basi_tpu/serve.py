@@ -31,19 +31,75 @@ class Prediction:
     scores: np.ndarray  # (K,)
 
 
+class _AotBackend:
+    """Inferencer-shaped adapter over a loaded AOT artifact (convert/aot.py).
+
+    ``run_fn``/``predict_batch`` invoke the deserialized program — an
+    ``Exported.call`` is traceable, so it composes into the predictor's
+    scan programs exactly like a live forward. Weights live INSIDE the
+    artifact; params/batch_stats are empty sentinels to satisfy the shared
+    calling convention. ``full_res_masks`` reuses the library's fused
+    upsample (weight-free, not part of the artifact's contract)."""
+
+    def __init__(self, model):
+        import jax
+
+        from basi_tpu.ops.pallas.upsample_sigmoid import (
+            upsample_sigmoid,
+            upsample_sigmoid_reference,
+        )
+
+        self._model = model
+        self.meta = model.meta
+        self.params = {}
+        self.batch_stats = {}
+        size = int(model.meta["model_size"])
+
+        def run_fn(params, batch_stats, images_u8):
+            return model.exported.call(images_u8)
+
+        self.run_fn = run_fn
+        up = (upsample_sigmoid if jax.default_backend() == "tpu"
+              else upsample_sigmoid_reference)
+
+        @jax.jit
+        def full(probs):
+            p32 = jnp.clip(probs.astype(jnp.float32), 1e-6, 1 - 1e-6)
+            logits = (jnp.log(p32) - jnp.log1p(-p32)).astype(probs.dtype)
+            return up(logits, (size, size))
+
+        self.full_res_masks = full
+
+    def predict_batch(self, images_u8):
+        return self._model.exported.call(images_u8)
+
+
 class BatchedPredictor:
     """Thread-safe request batcher over a compiled BASI pipeline."""
 
     def __init__(self, cfg: Config, checkpoint: str = "",
-                 max_wait_ms: float = 5.0, max_pending: int = 256):
-        self.inf = Inferencer(cfg, checkpoint=checkpoint)
-        self.batch = cfg.infer.batch_size
-        self.size = cfg.model.image_size
-        # s2d models take the host-packed feed format: same bytes, zero
-        # device-side reorder copies (see transforms.space_to_depth_host).
-        from basi_tpu.data.transforms import wants_s2d_feed
+                 max_wait_ms: float = 5.0, max_pending: int = 256,
+                 aot_path: str = ""):
+        """``aot_path``: serve a ``basi export --aot`` artifact instead of
+        a checkpoint — batch size and model size come from the artifact's
+        sidecar (they are baked into the program's static shapes); the
+        host feed stays raw 3-channel uint8 per the AOT contract."""
+        if aot_path:
+            from basi_tpu.convert.aot import load_serving
 
-        self._pack_s2d = wants_s2d_feed(cfg.model)
+            self.inf = _AotBackend(load_serving(aot_path))
+            self.batch = int(self.inf.meta["batch_size"])
+            self.size = int(self.inf.meta["model_size"])
+            self._pack_s2d = False
+        else:
+            self.inf = Inferencer(cfg, checkpoint=checkpoint)
+            self.batch = cfg.infer.batch_size
+            self.size = cfg.model.image_size
+            # s2d models take the host-packed feed format: same bytes, zero
+            # device-side reorder copies (transforms.space_to_depth_host).
+            from basi_tpu.data.transforms import wants_s2d_feed
+
+            self._pack_s2d = wants_s2d_feed(cfg.model)
         self.max_wait = max_wait_ms / 1000.0
         self._scan_cache: dict = {}
         # Bounded: an unbounded queue would buffer a caller burst into

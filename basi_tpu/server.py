@@ -39,10 +39,13 @@ class PredictService:
     """Decode -> letterbox -> batched predict -> full-res label map."""
 
     def __init__(self, cfg: Config, checkpoint: str = "",
-                 predict_timeout: float = 30.0):
+                 predict_timeout: float = 30.0, aot_path: str = ""):
         self.cfg = cfg
-        self.predictor = BatchedPredictor(cfg, checkpoint=checkpoint)
-        self.size = cfg.model.image_size
+        self.predictor = BatchedPredictor(cfg, checkpoint=checkpoint,
+                                          aot_path=aot_path)
+        # AOT artifacts carry their own (baked-in) model size; the
+        # predictor resolved it, so letterboxing follows the predictor.
+        self.size = self.predictor.size
         self.predict_timeout = predict_timeout
 
     def close(self):
@@ -150,21 +153,25 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(cfg: Config, checkpoint: str = "",
                 host: str = "127.0.0.1", port: int = 8000,
-                predict_timeout: float = 30.0):
+                predict_timeout: float = 30.0, aot_path: str = ""):
     """Build (httpd, service). Caller runs ``httpd.serve_forever()`` and
     on shutdown calls ``httpd.shutdown(); service.close()``. ``port=0``
     binds an ephemeral port (tests); read it from
-    ``httpd.server_address``."""
+    ``httpd.server_address``. ``aot_path`` serves a ``basi export --aot``
+    artifact instead of a checkpoint."""
     service = PredictService(cfg, checkpoint=checkpoint,
-                             predict_timeout=predict_timeout)
+                             predict_timeout=predict_timeout,
+                             aot_path=aot_path)
     handler = type("BoundHandler", (_Handler,), {"service": service})
     httpd = ThreadingHTTPServer((host, port), handler)
     return httpd, service
 
 
 def serve_forever(cfg: Config, checkpoint: str = "",
-                  host: str = "127.0.0.1", port: int = 8000) -> int:
-    httpd, service = make_server(cfg, checkpoint, host, port)
+                  host: str = "127.0.0.1", port: int = 8000,
+                  aot_path: str = "") -> int:
+    httpd, service = make_server(cfg, checkpoint, host, port,
+                                 aot_path=aot_path)
     print(json.dumps({"serving": f"http://{host}:{httpd.server_address[1]}",
                       "endpoints": ["/predict", "/healthz"]}), flush=True)
     try:

@@ -103,6 +103,18 @@ class Trainer:
         )
         if self.ckpt is not None:
             self.state = self.ckpt.maybe_resume(self.state, cfg.train.resume)
+            if self.mesh is not None and self.process_count == 1:
+                # Orbax restores arrays COMMITTED to one device (the
+                # template's placement), while the feed's batches are
+                # sharded over the mesh — jit refuses mixed committed
+                # device sets, so a single-host multi-device resume would
+                # crash on the first step. Re-place the restored state
+                # replicated on the mesh (fresh-init state is uncommitted,
+                # so the non-resume path auto-reshards and never hits
+                # this). Multi-process restore already comes back global:
+                # its template was replicated above.
+                rep = NamedSharding(self.mesh, P())
+                self.state = jax.device_put(self.state, rep)
         # Multi-process: metrics are identical on every process (replicated
         # step outputs); only process 0 writes the console/JSONL stream.
         log_here = self.process_index == 0
@@ -111,6 +123,11 @@ class Trainer:
                                    tensorboard_dir=(cfg.tensorboard_dir
                                                     if log_here else ""))
         self.timer = StepTimer()
+        import threading
+
+        # Graceful-stop flag (train.save_on_preemption): polled by the
+        # step loop; train() rebinds a fresh Event per run.
+        self._preempt = threading.Event()
 
     def _group_step(self):
         """Lazily-built multi-step dispatch program (see step.py
@@ -176,17 +193,51 @@ class Trainer:
         host_step = start_step
         last_saved_step = start_step if start_step else -1
         steps_since_mark = 0
+        restore_sigs = self._install_preempt_handler()
         try:
             return self._train_loop(
                 cfg, start_epoch, host_step, last_saved_step,
                 steps_since_mark, last_metrics)
         finally:
+            restore_sigs()
             # Flush observability sinks: torch's SummaryWriter flushes on
             # a ~2-min daemon cadence with no atexit hook — without this
             # the final steps' scalars can never reach the event file.
             # flush, NOT close: a reused Trainer (in-process resume, a
             # second train() call) must keep logging.
             self.logger.flush()
+
+    def _install_preempt_handler(self):
+        """SIGTERM -> graceful preemption (TPU-pod eviction contract): set
+        a flag the step loop polls; the loop then commits a checkpoint at
+        the exact current step and train() returns. Installs only on the
+        main thread (Python restricts signal.signal to it — a Trainer
+        driven from a worker thread simply skips the handler); returns a
+        restorer for the previous handler. The flag, not the handler, is
+        the tested surface: anything may set ``_preempt`` (a cluster
+        health watcher, a test) to request the same graceful stop."""
+        import signal
+        import threading
+
+        self._preempt = threading.Event()
+        if (not getattr(self.cfg.train, "save_on_preemption", True)
+                or threading.current_thread() is not threading.main_thread()):
+            return lambda: None
+        prev = signal.signal(signal.SIGTERM,
+                             lambda signum, frame: self._preempt.set())
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
+    def _handle_preemption(self, host_step: int, epoch: int,
+                           last_saved_step: int, last_metrics: dict) -> dict:
+        """Commit state + observability, then hand back metrics with the
+        preemption marker; the caller returns them from train()."""
+        if self.ckpt is not None and host_step != last_saved_step:
+            self.ckpt.save(self.state)
+            self.ckpt.wait()  # durable before the process exits
+        rec = {"preempted_at_step": host_step, "epoch": epoch,
+               "checkpoint_saved": self.ckpt is not None}
+        self.logger.log(rec, prefix="[preempt]")
+        return {**last_metrics, **rec}
 
     def _train_loop(self, cfg, start_epoch, host_step, last_saved_step,
                     steps_since_mark, last_metrics) -> dict:
@@ -261,7 +312,14 @@ class Trainer:
                     buf.append(batch)
                     if len(buf) == group:
                         dispatch()
+                    if self._preempt.is_set():
+                        dispatch()  # commit the buffered partial group
+                        return self._handle_preemption(
+                            host_step, epoch, last_saved_step, last_metrics)
                 dispatch()  # epoch tail (partial group)
+                if self._preempt.is_set():
+                    return self._handle_preemption(
+                        host_step, epoch, last_saved_step, last_metrics)
                 # per-epoch: eval + checkpoint (reference behavior); skip if
                 # the in-loop save already wrote this step (orbax raises
                 # StepAlreadyExistsError on a duplicate step).

@@ -122,6 +122,12 @@ class CheckpointManager:
         finally:
             other.close()
 
+    def wait(self):
+        """Barrier on in-flight async writes (no-op for sync saves). The
+        preemption path calls this so the final save is durably committed
+        before the process exits."""
+        self._mgr.wait_until_finished()
+
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()
