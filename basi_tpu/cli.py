@@ -111,6 +111,13 @@ def cmd_export(args) -> int:
         # The AOT artifact IS the serving program: it bakes weights at the
         # configured infer.dtype (bf16 default — the deployment precision),
         # unlike the orbax/torch exports below which must stay f32 masters.
+        if not args.checkpoint:
+            # Without a checkpoint the Inferencer falls back to random
+            # init — and the artifact ships alone, so a random-weights
+            # export is undetectable downstream.
+            raise SystemExit("basi export --aot requires --checkpoint "
+                             "(the artifact bakes the weights in; exporting "
+                             "random init would be silent)")
         from basi_tpu.convert.aot import save_serving
 
         plats = tuple(p for p in args.platforms.split(",") if p)

@@ -67,6 +67,11 @@ class DataConfig:
     color_jitter: tuple[float, float, float] = (0.0, 0.0, 0.0)
     multiscale: bool = False
     synthetic_n: int = 256  # synthetic train-split size (val = n // 4)
+    # synthetic only: scenes generate at per-index NON-SQUARE original
+    # resolutions up to this multiple of image_size and letterbox down —
+    # exercising the original-resolution eval protocol without files
+    # (1.0 = square originals at model size).
+    synthetic_orig_scale: float = 1.0
     prefetch_depth: int = 2  # double buffering
     decode_backend: str = "auto"  # auto | native | pil | synthetic
 
@@ -302,12 +307,35 @@ def _preset_train_v4_32_dp() -> Config:
     )
 
 
+def _preset_bench_accuracy() -> Config:
+    """Converged-accuracy benchmark (VERDICT r3 item 3): ONE pinned recipe
+    driving all three §2.8 instance mechanisms through identical data,
+    schedule and budget (tools/bench_accuracy.py runs the comparison and
+    records the winner in BASELINE.md). 1,024 procedural scenes with
+    non-square originals, 24 epochs, SGD + cosine + EMA, bf16 batch 16."""
+    return Config(
+        model=ModelConfig(dtype="bfloat16"),
+        data=DataConfig(batch_size=16, dataset="synthetic",
+                        synthetic_n=1024, synthetic_orig_scale=1.5),
+        train=TrainConfig(
+            epochs=24, optimizer="sgd", lr=0.01, schedule="cosine",
+            warmup_steps=100, ema_decay=0.999, loss="bce_dice",
+            checkpoint_dir="", log_every=64,
+        ),
+        # Per-epoch eval stays at the letterbox frame for speed; the final
+        # eval (the recorded numbers) runs ap_at_original + the full SOD
+        # suite — tools/bench_accuracy.py flips the flag.
+        infer=InferConfig(batch_size=16),
+    )
+
+
 PRESETS = {
     "pr1_cpu_infer": _preset_pr1_cpu_infer,
     "val_v4-8_ap": _preset_val_ap,
     "train_ilso_1ep": _preset_train_ilso_1ep,
     "train_multiscale_fused": _preset_train_multiscale_fused,
     "train_v4-32_dp": _preset_train_v4_32_dp,
+    "bench_accuracy": _preset_bench_accuracy,
 }
 
 

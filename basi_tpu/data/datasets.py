@@ -369,6 +369,7 @@ def make_dataset(cfg_data, split: str | None = None):
             n=n, image_size=cfg_data.image_size,
             max_instances=cfg_data.max_instances,
             seed=0 if split == "train" else 1,
+            orig_max_scale=getattr(cfg_data, "synthetic_orig_scale", 1.0),
         )
     if cfg_data.dataset in ("ilso", "soc", "folder"):
         root = cfg_data.root or os.path.join("data", cfg_data.dataset)

@@ -28,15 +28,36 @@ from basi_tpu.utils.profiling import maybe_trace
 
 class Inferencer:
     def __init__(self, cfg: Config, model=None, params=None, batch_stats=None,
-                 checkpoint: str = "", mesh=None, data_axis: str = "data"):
+                 checkpoint: str = "", mesh=None, data_axis: str = "data",
+                 spatial_axis: str = ""):
         """``mesh``: optional data-parallel eval mesh (SURVEY §5.8). Eval
         batches shard over ``data_axis``; per-image selection stays vmapped
         per shard; the small metric tensors come back replicated (GSPMD
         inserts the all_gather), so every host computes identical metrics.
+
+        ``spatial_axis``: name of the mesh's spatial (image-H) axis, if it
+        has one (SURVEY §5.7) — eval inputs then shard their H dim over it
+        and the partitioner inserts the conv halo exchanges. When no mesh
+        is passed, both come from ``cfg.parallel``: explicitly-requested
+        meshes (num_devices > 1 or spatial_shards > 1) are built here, so
+        ``basi eval --set parallel.spatial_shards=2 ...`` works without a
+        Trainer.
         """
         self.cfg = cfg
+        if mesh is None and (cfg.parallel.num_devices > 1
+                             or cfg.parallel.spatial_shards > 1):
+            from basi_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.parallel.num_devices,
+                             cfg.parallel.data_axis,
+                             spatial_axis=cfg.parallel.spatial_axis,
+                             spatial_shards=cfg.parallel.spatial_shards)
+            data_axis = cfg.parallel.data_axis
+            spatial_axis = cfg.parallel.spatial_axis
         self.mesh = mesh
         self.data_axis = data_axis
+        self.spatial_axis = (spatial_axis if mesh is not None
+                             and spatial_axis in mesh.shape else "")
         if mesh is not None and cfg.infer.batch_size % mesh.shape[data_axis]:
             raise ValueError(
                 f"infer.batch_size={cfg.infer.batch_size} not divisible by "
@@ -87,6 +108,10 @@ class Inferencer:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
             batch_stats = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), batch_stats)
+        if self._quant:
+            from basi_tpu.ops.quant import prequantize_params
+
+            params = prequantize_params(params)
         self.params = params
         self.batch_stats = batch_stats or {}
         self._replicate_weights()
@@ -143,6 +168,13 @@ class Inferencer:
                 lambda x: x.astype(jnp.bfloat16), self.params)
             self.batch_stats = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), self.batch_stats)
+        if self._quant:
+            # Pre-quantize ONCE (from the true f32 values): the compiled
+            # program reads int8 kernels + per-cout scales directly —
+            # no per-run weight-quantization work, 4x less kernel HBM.
+            from basi_tpu.ops.quant import prequantize_params
+
+            self.params = prequantize_params(self.params)
 
         # Ingest-side space-to-depth: reshaping the raw uint8 bytes is ~4x
         # cheaper than reshaping the normalized bf16/f32 tensor inside the
@@ -161,12 +193,6 @@ class Inferencer:
                 f"(expected 'kernels', 'connected' or 'roi')")
 
         tta_flip = icfg.tta == "hflip"
-        if mechanism == "roi" and (tta_flip or getattr(icfg, "tta_scales", ())):
-            # The TTA ensemble realigns cell KERNELS/saliency across views;
-            # ROI boxes/crops don't compose that way (each view would need
-            # its own proposal set realigned in box space) — unsupported.
-            raise ValueError("infer.tta is not supported with "
-                             "model.instance_mechanism='roi'")
         if icfg.tta not in ("", "hflip"):
             raise ValueError(
                 f"infer.tta={icfg.tta!r} (expected '' or 'hflip')")
@@ -220,6 +246,65 @@ class Inferencer:
                     views.append((jnp.flip(xs, axis=2) if flip else xs, flip))
 
             variables = {"params": params, "batch_stats": batch_stats}
+
+            if mechanism == "roi":
+                # ROI TTA = detection-style view union: every view's
+                # proposals are realigned to the ORIGINAL frame (boxes are
+                # normalized, so a flipped view's box mirrors analytically
+                # as x0' = 1-x1, x1' = 1-x0, and its ROI-frame mask flips
+                # along the ROI's own W axis; scaled views' normalized
+                # boxes carry over unchanged), all V*K candidates paste
+                # onto the base /4 canvas, and ONE rescoring/NMS pass
+                # dedups detections the views agree on.
+                from basi_tpu.ops.nms import select_instances_from_probs
+                from basi_tpu.ops.roi import paste_rois
+
+                boxes_v, probs_v, obj_v, sal_sum = [], [], [], None
+                for xv, flipped in views:
+                    if stem_s2d:
+                        xv = space_to_depth(xv, 2)
+                    out = apply_model(variables, xv)
+                    sal = jax.nn.sigmoid(
+                        out.saliency_logits.astype(jnp.float32))
+                    bx = out.roi_boxes.astype(jnp.float32)  # (N, K, 4)
+                    pr = jax.nn.sigmoid(
+                        out.roi_mask_logits.astype(jnp.float32))
+                    if flipped:
+                        sal = jnp.flip(sal, axis=2)
+                        bx = jnp.stack(
+                            [bx[..., 0], 1.0 - bx[..., 3],
+                             bx[..., 2], 1.0 - bx[..., 1]], axis=-1)
+                        pr = jnp.flip(pr, axis=3)  # ROI-frame W
+                    if sal.shape[1:3] != base4:
+                        sal = resize_bilinear(sal, base4)
+                    boxes_v.append(bx)
+                    probs_v.append(pr.astype(compute_dtype))
+                    obj_v.append(jax.nn.sigmoid(
+                        out.roi_scores.astype(jnp.float32)))
+                    sal_sum = sal if sal_sum is None else sal_sum + sal
+                sal_prob = sal_sum / len(views)
+                p = jnp.clip(sal_prob, 1e-6, 1.0 - 1e-6)
+                sal_logits = (jnp.log(p) - jnp.log1p(-p)).astype(
+                    compute_dtype)
+                boxes = jnp.concatenate(boxes_v, axis=1)  # (N, V*K, 4)
+                probs = jnp.concatenate(probs_v, axis=1)
+                obj = jnp.concatenate(obj_v, axis=1)
+                canv = jax.vmap(
+                    lambda prr, bxx: paste_rois(prr, bxx, base4)
+                )(probs, boxes)
+                masks, scores = jax.vmap(
+                    lambda m, sc: select_instances_from_probs(
+                        m, sc,
+                        num_slots=cfg.model.num_slots,
+                        score_threshold=icfg.score_threshold,
+                        mask_threshold=icfg.mask_threshold,
+                        nms=icfg.nms,
+                        nms_sigma=icfg.nms_sigma,
+                        nms_iou_threshold=icfg.nms_iou_threshold,
+                    )
+                )(canv, obj)
+                return masks, scores, sal_logits
+
             feats_v, kerns_v, scores_v, sal_sum = [], [], [], None
             for xv, flipped in views:
                 if stem_s2d:
@@ -450,9 +535,18 @@ class Inferencer:
             # Batch-sharded inputs, replicated outputs: the forward /
             # selection / IoU work runs data-parallel over the mesh;
             # GSPMD all_gathers only the small metric tensors at the end.
+            # With a spatial axis, the image H dim (axis 1 — raw NHWC or
+            # packed s2d both keep H there) and GT-mask H dim (axis 2 of
+            # (N, M, H, W)) also shard; the partitioner derives the conv
+            # halo exchanges and re-gathers for the per-image selection.
+            sp = self.spatial_axis or None
+            ish = (NamedSharding(self.mesh, P(self.data_axis, sp))
+                   if sp else bsh)
+            msh = (NamedSharding(self.mesh, P(self.data_axis, None, sp))
+                   if sp else bsh)
             self._eval_batch = jax.jit(
                 eval_batch,
-                in_shardings=(rep, rep, bsh, bsh, bsh, bsh),
+                in_shardings=(rep, rep, ish, msh, bsh, bsh),
                 out_shardings=rep,
             )
             self._replicate_weights()

@@ -47,6 +47,15 @@ class PredictService:
         # predictor resolved it, so letterboxing follows the predictor.
         self.size = self.predictor.size
         self.predict_timeout = predict_timeout
+        # Thresholds must match the program actually serving: an AOT
+        # artifact records the export-time infer thresholds in its sidecar,
+        # and the serving cfg may legitimately differ — filtering with the
+        # cfg's values would mislabel against what the artifact promises.
+        meta = getattr(self.predictor.inf, "meta", None)
+        self.score_threshold = (float(meta["score_threshold"]) if meta
+                                else cfg.infer.score_threshold)
+        self.mask_threshold = (float(meta["mask_threshold"]) if meta
+                               else cfg.infer.mask_threshold)
 
     def close(self):
         self.predictor.close()
@@ -79,12 +88,12 @@ class PredictService:
             self.predictor.inf.full_res_masks(pred.masks[None])))[0]
         scores = np.asarray(pred.scores, np.float32)
         order = np.argsort(-scores)
-        keep = scores[order] >= self.cfg.infer.score_threshold
+        keep = scores[order] >= self.score_threshold
         order = order[keep]
         lab = np.zeros((self.size, self.size), np.uint8)
         # descending score; earlier (higher-score) instances win overlaps
         for rank in range(len(order) - 1, -1, -1):
-            m = full[order[rank]] > self.cfg.infer.mask_threshold
+            m = full[order[rank]] > self.mask_threshold
             lab[m] = rank + 1
         lab = lab[:vh, :vw]
         buf = io.BytesIO()

@@ -33,9 +33,34 @@ class Trainer:
         if cfg.train.remat:
             self.model = self.model.clone(remat=True)
         n_dev = cfg.parallel.num_devices or len(jax.devices())
+        # Spatial (H-dim) sharding (SURVEY §5.7): parallel.spatial_axis +
+        # spatial_shards build a 2D (data, spatial) mesh and route the
+        # train step through the GSPMD spatial path (parallel/spatial.py —
+        # XLA inserts the conv halo exchanges). make_mesh validates the
+        # two knobs are set together.
+        self.spatial = cfg.parallel.spatial_shards > 1
         self.mesh = (
-            make_mesh(n_dev, cfg.parallel.data_axis) if n_dev > 1 else None
+            make_mesh(n_dev, cfg.parallel.data_axis,
+                      spatial_axis=cfg.parallel.spatial_axis,
+                      spatial_shards=cfg.parallel.spatial_shards)
+            if n_dev > 1 or self.spatial else None
         )
+        if self.spatial:
+            if self.process_count > 1:
+                raise ValueError(
+                    "spatial sharding is single-host only (the feed's "
+                    "process-row assembly assumes a 1D data mesh)")
+            if cfg.data.multiscale:
+                raise ValueError(
+                    "parallel.spatial_shards > 1 is incompatible with "
+                    "data.multiscale (per-step resolution changes re-tile "
+                    "the spatial partition every scale)")
+            if cfg.train.steps_per_dispatch > 1:
+                raise ValueError(
+                    "parallel.spatial_shards > 1 is incompatible with "
+                    "train.steps_per_dispatch > 1 (the grouped-dispatch "
+                    "scan wraps the shard_map step body; the spatial path "
+                    "is a GSPMD program with its own input shardings)")
         if self.process_count > 1 and self.mesh is None:
             raise ValueError(
                 "multi-process training needs a device mesh: "
@@ -46,10 +71,20 @@ class Trainer:
         sharding = None
         if self.mesh is not None:
             mesh = self.mesh
+            sp_axis = cfg.parallel.spatial_axis if self.spatial else None
 
             def sharding(v):  # noqa: F811 - batch-dim sharding per array
                 if v.ndim == 0:  # scalars (e.g. num_real): replicate
                     return NamedSharding(mesh, P())
+                if sp_axis and v.ndim == 4:
+                    # The two 4D batch arrays shard their H dim spatially:
+                    # image is NHWC (H at axis 1, C==3 — pack_s2d is off
+                    # under spatial), masks are (N, M, H, W) (H at axis 2).
+                    if v.shape[-1] == 3:
+                        return NamedSharding(
+                            mesh, P(cfg.parallel.data_axis, sp_axis))
+                    return NamedSharding(
+                        mesh, P(cfg.parallel.data_axis, None, sp_axis))
                 return NamedSharding(
                     mesh, P(cfg.parallel.data_axis, *([None] * (v.ndim - 1)))
                 )
@@ -60,7 +95,11 @@ class Trainer:
             self.dataset, cfg.data.batch_size, shuffle=True,
             seed=cfg.train.seed, sharding=sharding,
             depth=cfg.data.prefetch_depth,
-            pack_s2d=wants_s2d_feed(self.model) and not cfg.data.multiscale,
+            # pack_s2d off under spatial: the GSPMD step takes the raw
+            # NHWC image (its body runs the XLA reference ingest — a
+            # Pallas custom call is opaque to the SPMD partitioner).
+            pack_s2d=(wants_s2d_feed(self.model) and not cfg.data.multiscale
+                      and not self.spatial),
         )
         steps_per_epoch = self.feed.steps_per_epoch()
         if steps_per_epoch <= 0:
@@ -90,10 +129,19 @@ class Trainer:
             self.state = jax.tree.map(
                 lambda x: make_replicated_array(x, rep), host_state)
             self._collective_barrier()
-        self.train_step = make_train_step(
-            self.model, self.tx, cfg.train, cfg.data,
-            mesh=self.mesh, data_axis=cfg.parallel.data_axis,
-        )
+        if self.spatial:
+            from basi_tpu.parallel.spatial import make_spatial_train_step
+
+            self.train_step = make_spatial_train_step(
+                self.model, self.tx, cfg.train, cfg.data, self.mesh,
+                data_axis=cfg.parallel.data_axis,
+                spatial_axis=cfg.parallel.spatial_axis,
+            )
+        else:
+            self.train_step = make_train_step(
+                self.model, self.tx, cfg.train, cfg.data,
+                mesh=self.mesh, data_axis=cfg.parallel.data_axis,
+            )
         self.ckpt = (
             CheckpointManager(
                 cfg.train.checkpoint_dir,
@@ -140,15 +188,11 @@ class Trainer:
             fn = self._group_step_fn = make_group_step(self.train_step)
         return fn
 
-    def _collective_barrier(self):
-        """Form the global collective clique on a TRIVIAL psum before any
-        heavyweight program runs. Collective-context rendezvous has a hard
-        deadline (Gloo: 30 s) — if one process reaches the first train-step
-        collective while a peer is still deep in XLA compilation, the
-        rendezvous times out. A subsecond-compile barrier program brings
-        every process to the rendezvous within seconds; the established
-        clique is cached and reused by the real step. Doubles as a mesh
-        health check: the psum must equal the data-axis size."""
+    def _sync_flag(self, flag: float) -> float:
+        """psum a per-process scalar over the global mesh (every local
+        device contributes ``flag``); returns the global sum. One tiny
+        cached program — the collective agreement primitive behind both
+        the startup barrier and the preemption-stop decision."""
         import numpy as np
 
         from basi_tpu.parallel.dist_data import (
@@ -161,17 +205,48 @@ class Trainer:
         bsh = NamedSharding(self.mesh, P(axis))
         rows = local_rows(bsh, n)
         arr = make_global_batch_array(
-            np.ones((len(rows),), np.float32), bsh, n, rows)
-        out = jax.jit(
-            jax.shard_map(lambda x: jax.lax.psum(x, axis), mesh=self.mesh,
-                          in_specs=P(axis), out_specs=P()),
-            out_shardings=NamedSharding(self.mesh, P()),
-        )(arr)
-        total = float(jax.device_get(out))
+            np.full((len(rows),), flag, np.float32), bsh, n, rows)
+        fn = getattr(self, "_sync_flag_fn", None)
+        if fn is None:
+            fn = self._sync_flag_fn = jax.jit(
+                jax.shard_map(lambda x: jax.lax.psum(x, axis),
+                              mesh=self.mesh,
+                              in_specs=P(axis), out_specs=P()),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        return float(jax.device_get(fn(arr)))
+
+    def _collective_barrier(self):
+        """Form the global collective clique on a TRIVIAL psum before any
+        heavyweight program runs. Collective-context rendezvous has a hard
+        deadline (Gloo: 30 s) — if one process reaches the first train-step
+        collective while a peer is still deep in XLA compilation, the
+        rendezvous times out. A subsecond-compile barrier program brings
+        every process to the rendezvous within seconds; the established
+        clique is cached and reused by the real step. Doubles as a mesh
+        health check: the psum must equal the data-axis size."""
+        axis = self.cfg.parallel.data_axis
+        n = self.mesh.shape[axis]
+        total = self._sync_flag(1.0)
         if total != float(n):
             raise RuntimeError(
                 f"mesh health check failed: psum of ones over {axis!r} "
                 f"returned {total}, expected {n}")
+
+    def _should_stop(self) -> bool:
+        """The preemption-stop decision, agreed across processes.
+
+        The SIGTERM flag is per-process (a cluster may deliver eviction to
+        one host first); acting on the LOCAL flag alone would have
+        processes enter the collective checkpoint save at different
+        host_steps — a deadlock during the grace window. Multi-process
+        runs therefore psum the flag at dispatch boundaries (every process
+        polls at the same loop points, so the collectives line up) and ALL
+        stop iff ANY process was signalled, at the same step.
+        Single-process keeps the free local check."""
+        if self.process_count == 1 or self.mesh is None:
+            return self._preempt.is_set()
+        return self._sync_flag(1.0 if self._preempt.is_set() else 0.0) > 0.0
 
     def close(self):
         """Release observability sinks (JSONL handle, TB writer thread)
@@ -231,9 +306,14 @@ class Trainer:
                            last_saved_step: int, last_metrics: dict) -> dict:
         """Commit state + observability, then hand back metrics with the
         preemption marker; the caller returns them from train()."""
-        if self.ckpt is not None and host_step != last_saved_step:
-            self.ckpt.save(self.state)
-            self.ckpt.wait()  # durable before the process exits
+        if self.ckpt is not None:
+            if host_step != last_saved_step:
+                self.ckpt.save(self.state)
+            # Unconditional barrier: even when this exact step was already
+            # saved, that save may be an async one still in flight — the
+            # "durable before the process exits" guarantee must not depend
+            # on the caller remembering close().
+            self.ckpt.wait()
         rec = {"preempted_at_step": host_step, "epoch": epoch,
                "checkpoint_saved": self.ckpt is not None}
         self.logger.log(rec, prefix="[preempt]")
@@ -308,16 +388,25 @@ class Trainer:
                         self.ckpt.save(self.state)
                         last_saved_step = step
 
+                # Preemption is polled ONLY at dispatch boundaries (right
+                # after a group ran): (i) multi-process polling is a
+                # collective (_should_stop), so every process must poll at
+                # identical loop points; (ii) a flag raised mid-buffer is
+                # answered at the NEXT boundary, so the preempt path never
+                # dispatches a partial group — an arbitrary arity would be
+                # a fresh XLA compile under the SIGTERM grace deadline.
+                # Latency cost: at most one group (<1 s) before the stop.
                 for batch in self.feed.epoch(epoch, skip=already):
                     buf.append(batch)
                     if len(buf) == group:
                         dispatch()
-                    if self._preempt.is_set():
-                        dispatch()  # commit the buffered partial group
-                        return self._handle_preemption(
-                            host_step, epoch, last_saved_step, last_metrics)
-                dispatch()  # epoch tail (partial group)
-                if self._preempt.is_set():
+                        if self._should_stop():
+                            return self._handle_preemption(
+                                host_step, epoch, last_saved_step,
+                                last_metrics)
+                dispatch()  # epoch tail (its arity compiles once, reused
+                # every epoch — not a preempt-path-only compile)
+                if self._should_stop():
                     return self._handle_preemption(
                         host_step, epoch, last_saved_step, last_metrics)
                 # per-epoch: eval + checkpoint (reference behavior); skip if
@@ -350,6 +439,8 @@ class Trainer:
                 self.cfg, model=self.model,
                 params=params, batch_stats=self.state.batch_stats,
                 mesh=self.mesh, data_axis=self.cfg.parallel.data_axis,
+                spatial_axis=(self.cfg.parallel.spatial_axis
+                              if self.spatial else ""),
             )
         else:
             inf.set_weights(params, self.state.batch_stats)

@@ -123,8 +123,10 @@ def test_opt_out_ignores_flag_installs_no_handler(tmp_path):
 
 @pytest.mark.parametrize("group", [2])
 def test_preempt_with_grouped_dispatch(tmp_path, group):
-    """steps_per_dispatch > 1: the buffered partial group is committed
-    before the preemption checkpoint, so no decoded batch is dropped."""
+    """steps_per_dispatch > 1: preemption is answered at the next group
+    boundary (never a partial-arity dispatch — that would be a fresh XLA
+    compile under the SIGTERM grace deadline), and the checkpoint lands
+    at the exact dispatched step."""
     cfg = _cfg(tmp_path)
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, steps_per_dispatch=group))

@@ -131,3 +131,82 @@ def test_quantized_conv_int_padding_and_circular_fallthrough():
     with quantized_convs():
         y_q = conv_c.apply(p_c, x)
     np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_ref))
+
+
+def test_prequantized_matches_dynamic_bitwise():
+    """prequantize_params runs the SAME quantization ops eagerly that the
+    dynamic path stages in-program, so a prequantized tree must reproduce
+    the dynamic int8 outputs exactly."""
+    from basi_tpu.ops.quant import prequantize_params
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 16, 24).astype(np.float32))
+    conv = nn.Conv(32, (3, 3), padding="SAME")
+    params = conv.init(jax.random.PRNGKey(0), x)
+
+    with quantized_convs():
+        y_dyn = conv.apply(params, x)
+    qp = {"params": prequantize_params(params["params"])}
+    assert qp["params"]["kernel"].dtype == jnp.int8
+    assert "kernel_scale" in qp["params"]
+    with quantized_convs():
+        y_pre = conv.apply(qp, x)
+    np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_pre))
+    # idempotent
+    qp2 = prequantize_params(qp["params"])
+    assert qp2["kernel"].dtype == jnp.int8
+
+
+def test_prequantize_skips_non_conv_leaves():
+    from basi_tpu.ops.quant import prequantize_params
+
+    tree = {
+        "dense": {"kernel": jnp.ones((8, 4)), "bias": jnp.zeros((4,))},
+        "norm": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+    }
+    out = prequantize_params(tree)
+    assert out["dense"]["kernel"].dtype == jnp.float32  # 2D: untouched
+    assert "kernel_scale" not in out["dense"]
+    assert out["norm"]["scale"].dtype == jnp.float32
+
+
+def test_inferencer_int8_is_prequantized():
+    """The Inferencer's int8 path ships int8 kernels into the program (no
+    per-run weight quantization) and still matches shapes/finiteness."""
+    from basi_tpu.infer import Inferencer
+
+    cfg = tiny_config()
+    cfg8 = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, dtype="int8"))
+    inf8 = Inferencer(cfg8)
+    kernels = [
+        v for p, v in jax.tree_util.tree_flatten_with_path(inf8.params)[0]
+        if getattr(p[-1], "key", "") == "kernel" and v.ndim == 4
+    ]
+    assert kernels and all(k.dtype == jnp.int8 for k in kernels)
+    rng = np.random.RandomState(3)
+    batch = tiny_batch(rng, n=cfg.infer.batch_size)
+    m8, s8, sal8 = inf8.predict_batch(jnp.asarray(batch["image"]))
+    assert np.isfinite(np.asarray(s8, np.float32)).all()
+    assert np.isfinite(np.asarray(sal8, np.float32)).all()
+
+    # set_weights re-quantizes: same structure, program reuse works.
+    inf32 = Inferencer(cfg)
+    inf8.set_weights(inf32.params, inf32.batch_stats)
+    m8b, s8b, _ = inf8.predict_batch(jnp.asarray(batch["image"]))
+    assert m8b.shape == m8.shape
+
+
+def test_prequantized_unsupported_conv_raises():
+    """A pre-quantized kernel reaching a conv variant the int8 twin cannot
+    reproduce must fail loudly, not fall through to garbage."""
+    from basi_tpu.ops.quant import prequantize_params
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8).astype(np.float32))
+    conv = nn.Conv(8, (3, 3), feature_group_count=2, padding="SAME")
+    params = conv.init(jax.random.PRNGKey(0), x)
+    qp = {"params": prequantize_params(params["params"])}
+    with pytest.raises(ValueError, match="unsupported conv"):
+        with quantized_convs():
+            conv.apply(qp, x)

@@ -138,3 +138,63 @@ def test_tta_rejects_nonpositive_scale():
 
     with pytest.raises(ValueError):
         Inferencer(_tta_cfg(tta="", scales=(-0.5,)))
+
+
+def _roi_cfg(tta="hflip", scales=()):
+    cfg = _tta_cfg(tta=tta, scales=scales)
+    # score_threshold below the focal-prior init (~0.01): random-init
+    # proposals must SURVIVE selection, or the involution checks would
+    # compare all-zero slot tensors (vacuously equal).
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, instance_mechanism="roi"),
+        infer=dataclasses.replace(cfg.infer, score_threshold=1e-3))
+
+
+def test_tta_roi_hflip_involution():
+    """ROI TTA = detection-style view union (boxes mirrored analytically,
+    ROI-frame masks W-flipped). TTA(hflip) of flip(x) sees the SAME view
+    set as TTA(hflip) of x, so the candidate union is identical up to
+    mirror — detections and scores must match after mirroring."""
+    inf = Inferencer(_roi_cfg(tta="hflip"))
+    imgs = _images()
+    m1, s1, sal1 = jax.device_get(
+        inf.run_fn(inf.params, inf.batch_stats, jnp.asarray(imgs)))
+    m2, s2, sal2 = jax.device_get(
+        inf.run_fn(inf.params, inf.batch_stats, jnp.asarray(imgs[:, :, ::-1])))
+    assert (np.asarray(s1) > 0).any()  # non-vacuous: slots survived
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    np.testing.assert_allclose(m1, m2[:, :, :, ::-1], atol=1e-5)
+    np.testing.assert_allclose(sal1, sal2[:, :, ::-1], atol=1e-5)
+
+
+def test_tta_roi_duplicate_scale_matches_plain():
+    """tta_scales=(1.0,) duplicates every proposal; NMS sees each
+    detection twice at the same score. Matrix NMS would decay duplicates
+    (gauss kernel at IoU 1), so the exactness check uses greedy NMS,
+    under which a duplicated candidate set selects the same instances."""
+    base_cfg = _roi_cfg(tta="", scales=())
+    base_cfg = dataclasses.replace(
+        base_cfg, infer=dataclasses.replace(base_cfg.infer, nms="greedy"))
+    tta_cfg = dataclasses.replace(
+        base_cfg, infer=dataclasses.replace(base_cfg.infer, tta="",
+                                            tta_scales=(1.0,)))
+    base = Inferencer(base_cfg)
+    tta = Inferencer(tta_cfg)
+    imgs = jnp.asarray(_images())
+    m0, s0, _ = jax.device_get(base.run_fn(base.params, base.batch_stats, imgs))
+    m1, s1, _ = jax.device_get(tta.run_fn(base.params, base.batch_stats, imgs))
+    np.testing.assert_allclose(s0, s1, atol=1e-5)
+    np.testing.assert_allclose(m0, m1, atol=1e-5)
+
+
+def test_tta_roi_multiscale_runs_and_is_sane():
+    inf = Inferencer(_roi_cfg(tta="hflip", scales=(0.5,)))
+    masks, scores, sal = jax.device_get(
+        inf.run_fn(inf.params, inf.batch_stats, jnp.asarray(_images())))
+    ns = inf.cfg.model.num_slots
+    assert masks.shape == (2, ns, 16, 16)
+    assert scores.shape == (2, ns)
+    assert np.isfinite(masks).all() and np.isfinite(scores).all()
+    assert (masks >= 0).all() and (masks <= 1).all()
+    assert np.isfinite(sal).all()
