@@ -147,10 +147,17 @@ def _bench_train(batch_size: int = 16, iters: int = 24, warmup: int = 3,
         # Same host-packed s2d feed the Trainer's DeviceFeed ships
         # (pack_s2d): zero device-side reorder copies.
         raw = np.stack([space_to_depth_host(b) for b in raw])
+    gt = (rng.rand(iters, batch_size, m, size, size) > 0.8).astype(np.uint8)
+    if getattr(cfg.data, "pack_masks", False):
+        # Same bit-packed GT feed the Trainer's DeviceFeed ships: the step
+        # unpacks on-device, so the bench must include that (tiny) cost —
+        # and the stacked-batch HBM drops 8x.
+        from basi_tpu.data.transforms import pack_masks_host
+
+        gt = pack_masks_host(gt)
     batches = {
         "image": jnp.asarray(raw),
-        "masks": jnp.asarray((rng.rand(iters, batch_size, m, size, size)
-                              > 0.8).astype(np.uint8)),
+        "masks": jnp.asarray(gt),
         "valid": jnp.asarray(np.ones((iters, batch_size, m), np.uint8)),
     }
     # Scan ``iters`` steps inside one program (see _bench_infer: the relay
@@ -256,7 +263,9 @@ def _bench_e2e(n_images: int = 400, batch_size: int = 8,
             Ingest-only pass: files -> host batch -> device upload, no
             forward. First batch (compile + first decode) excluded."""
             feed = DeviceFeed(dataset, batch_size, shuffle=False, seed=0,
-                              depth=4, drop_last=True)
+                              depth=4, drop_last=True,
+                              pack_masks=getattr(cfg.data, "pack_masks",
+                                                 False))
             n_imgs = 0
             t0 = None
             last = None

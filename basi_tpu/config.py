@@ -66,6 +66,12 @@ class DataConfig:
     # (0,0,0) = off). Applied on-device inside the train step.
     color_jitter: tuple[float, float, float] = (0.0, 0.0, 0.0)
     multiscale: bool = False
+    # Ship GT masks host->device bit-packed along W (8x fewer bytes; masks
+    # are 33 MB of a raw 45 MB batch-16 upload at 512^2 with 8 slots) and
+    # unpack on-device (elementwise shifts, ~free). Consumers shape-
+    # dispatch (transforms.maybe_unpack_masks), so hand-built raw batches
+    # keep working.
+    pack_masks: bool = True
     synthetic_n: int = 256  # synthetic train-split size (val = n // 4)
     # synthetic only: scenes generate at per-index NON-SQUARE original
     # resolutions up to this multiple of image_size and letterbox down —
@@ -105,6 +111,13 @@ class TrainConfig:
     # The reference trains unclipped (pretrained backbone tolerates it);
     # from random init the cell-grid BCE can spike, so clip by default.
     grad_clip_norm: float = 10.0  # 0 disables
+    # Run the optimizer chain on ONE flattened vector (optax.flatten).
+    # Measured SLOWER on v5e (71.3 vs 67.8 ms/step bf16 batch-16): the
+    # ravel/concat/split passes cost more than the per-leaf update
+    # fusions they replace (XLA already overlaps those with backward).
+    # Kept opt-in for runtimes where per-op overhead dominates.
+    # Elementwise-identical math; opt_state LAYOUT changes with it.
+    flatten_optimizer: bool = False
     # Frozen-BatchNorm fine-tuning (torch-classic recipe when starting from
     # a pretrained backbone at detection batch sizes): BN normalizes with
     # running statistics during training and running stats never update;

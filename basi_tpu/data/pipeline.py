@@ -29,7 +29,7 @@ class DeviceFeed:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, sharding=None, depth: int = 2,
                  drop_last: bool = True, debug_sync: bool = False,
-                 pack_s2d: bool = False):
+                 pack_s2d: bool = False, pack_masks: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,6 +43,10 @@ class DeviceFeed:
         # twin of the inference host-packed feed; the fused ingest kernel
         # flips packed batches analytically).
         self.pack_s2d = pack_s2d
+        # Bit-pack GT masks along W before upload (data.pack_masks): 8x
+        # fewer host->device bytes — the dominant train-batch traffic —
+        # unpacked on-device by the step (transforms.maybe_unpack_masks).
+        self.pack_masks = pack_masks
         # Multi-host feed (SURVEY §5.8): with >1 process, this process
         # decodes only the global-batch rows that land on its own devices
         # and assembles global jax.Arrays from per-device shards. Rows are
@@ -60,6 +64,11 @@ class DeviceFeed:
 
             batch = dict(batch)
             batch["image"] = space_to_depth_host(batch["image"])
+        if self.pack_masks and "masks" in batch:
+            from basi_tpu.data.transforms import pack_masks_host
+
+            batch = dict(batch)
+            batch["masks"] = pack_masks_host(batch["masks"])
         if self.sharding is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
         if self._rows is not None:

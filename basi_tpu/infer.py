@@ -468,6 +468,11 @@ class Inferencer:
             biases IoU; here predictions are upsampled (the same fused
             kernel the PNG path uses) and matched against the native-res GT
             — one (K, HW) x (HW, M) matmul per image."""
+            from basi_tpu.data.transforms import maybe_unpack_masks
+
+            # GT may arrive bit-packed along W (data.pack_masks): the same
+            # 8x host->device traffic cut the train feed gets.
+            gt_masks = maybe_unpack_masks(gt_masks, size)
             masks, scores, sal = run(params, batch_stats, images_u8)
             full = self._to_full_res(masks)  # (N, K, size, size) probs
             pm = (full > icfg.mask_threshold).astype(full.dtype)
@@ -916,8 +921,15 @@ class Inferencer:
                 pass
             id_of = getattr(dataset, "image_id", lambda i: int(i))
 
+        pack_gt = getattr(cfg.data, "pack_masks", False)
+        if pack_gt:
+            from basi_tpu.data.transforms import pack_masks_host
+
         def to_device_args(batch):
-            arrs = (np.asarray(batch["image"]), np.asarray(batch["masks"]),
+            gm = np.asarray(batch["masks"])
+            if pack_gt:  # 8x smaller GT upload; eval_batch unpacks
+                gm = pack_masks_host(gm)
+            arrs = (np.asarray(batch["image"]), gm,
                     np.asarray(batch["valid"]), np.asarray(batch["valid_hw"]))
             if not multiproc:
                 return arrs

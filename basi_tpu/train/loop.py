@@ -100,6 +100,7 @@ class Trainer:
             # Pallas custom call is opaque to the SPMD partitioner).
             pack_s2d=(wants_s2d_feed(self.model) and not cfg.data.multiscale
                       and not self.spatial),
+            pack_masks=getattr(cfg.data, "pack_masks", False),
         )
         steps_per_epoch = self.feed.steps_per_epoch()
         if steps_per_epoch <= 0:

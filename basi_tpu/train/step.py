@@ -164,6 +164,15 @@ def make_train_step(
         k_flip, k_aug = jax.random.split(rng)
         flip = jax.random.bernoulli(
             k_flip, cfg_data.hflip_prob, (n,)).astype(jnp.int32)
+        # GT masks may arrive bit-packed along W (data.pack_masks: 8x less
+        # host->device traffic); unpack on-device before any consumer. The
+        # image may itself be s2d-packed (H/2, W/2, 12), so the full width
+        # comes from its geometry, not its shape alone.
+        from basi_tpu.data.transforms import maybe_unpack_masks
+
+        full_w = batch["image"].shape[2] * (
+            2 if batch["image"].shape[-1] == 12 else 1)
+        gt_masks_u8 = maybe_unpack_masks(batch["masks"], full_w)
 
         # uint8 -> normalize + hflip fused on-device (Pallas on TPU).
         # The image may arrive host-packed in the s2d stem's (N, H/2, W/2,
@@ -200,7 +209,7 @@ def make_train_step(
         if cfg_data.multiscale:
             # Scale jitter resamples masks at full resolution; keep the
             # full-res f32 path (flip applied here to match the image).
-            masks = batch["masks"].astype(jnp.float32)
+            masks = gt_masks_u8.astype(jnp.float32)
             masks = jnp.where(flip[:, None, None, None] > 0,
                               jnp.flip(masks, axis=3), masks)
             imgs, masks, _ = random_augment(
@@ -225,7 +234,7 @@ def make_train_step(
             # flip-invariant.
             from basi_tpu.train.targets import instance_stats
 
-            m_u8 = batch["masks"]
+            m_u8 = gt_masks_u8
             gt_stats = jax.vmap(instance_stats)(m_u8, batch["valid"])
             fx = flip[:, None] > 0
             gt_stats["cx"] = jnp.where(fx, 1.0 - gt_stats["cx"],

@@ -299,11 +299,21 @@ def test_roi_inferencer_end_to_end(tmp_path):
     assert "mAP" in metrics and np.isfinite(metrics["mAP"])
 
 
-def test_roi_tta_rejected():
+def test_roi_tta_supported():
+    """ROI TTA (round 4): flipped views' boxes mirror analytically and the
+    per-view detections union before one NMS pass — building the ensemble
+    Inferencer must work and produce the slot contract (involution and
+    duplicate-scale exactness live in test_tta.py)."""
     from basi_tpu.infer import Inferencer
 
     cfg = _roi_config()
     cfg = dataclasses.replace(
         cfg, infer=dataclasses.replace(cfg.infer, tta="hflip"))
-    with pytest.raises(ValueError, match="roi"):
-        Inferencer(cfg)
+    inf = Inferencer(cfg)
+    rng = np.random.RandomState(0)
+    s = cfg.model.image_size
+    imgs = (rng.rand(cfg.infer.batch_size, s, s, 3) * 255).astype(np.uint8)
+    masks, scores, _ = jax.device_get(
+        inf.run_fn(inf.params, inf.batch_stats, jnp.asarray(imgs)))
+    assert masks.shape[:2] == (cfg.infer.batch_size, cfg.model.num_slots)
+    assert np.isfinite(np.asarray(scores, np.float32)).all()

@@ -47,10 +47,14 @@ def _trace_train(cfg, steps: int, trace_dir: str):
     raw = (rng.rand(steps, bs, size, size, 3) * 255).astype(np.uint8)
     if wants_s2d_feed(cfg.model) and not cfg.data.multiscale:
         raw = np.stack([space_to_depth_host(b) for b in raw])
+    gt = (rng.rand(steps, bs, m, size, size) > 0.8).astype(np.uint8)
+    if getattr(cfg.data, "pack_masks", False):
+        from basi_tpu.data.transforms import pack_masks_host
+
+        gt = pack_masks_host(gt)  # match the product feed (data.pack_masks)
     batches = {
         "image": jnp.asarray(raw),
-        "masks": jnp.asarray((rng.rand(steps, bs, m, size, size) > 0.8)
-                             .astype(np.uint8)),
+        "masks": jnp.asarray(gt),
         "valid": jnp.asarray(np.ones((steps, bs, m), np.uint8)),
     }
 
