@@ -26,7 +26,17 @@ class ModelConfig:
     # space-to-depth rewrite wins the stem conv but loses more in input
     # layout copies. s2d stays available (bit-exact, tested) — revisit if
     # the ingest step learns to emit s2d layout directly.
-    stem_mode: str = "conv7"  # conv7 | s2d
+    # conv7p8 pads the stem's 3-channel contraction to 8 zero lanes
+    # (bit-equivalent forward, canonical (7,7,3,64) param; targets the
+    # round-4 trace's 1.15 ms conv7-dW at 17 TF/s). Opt-in until measured.
+    stem_mode: str = "conv7"  # conv7 | s2d | conv7p8
+    # BatchNorm implementation for the trunk: "xla" = nn.BatchNorm (XLA
+    # autodiff reduces), "fused" = FusedBatchNorm (models/norm.py): Pallas
+    # streaming per-channel reductions in conv-preferred layout + a
+    # hand-written elementwise backward — targets the ~4.5 ms of
+    # transpose-welded BN-stat fusions in the round-4 BN-train trace.
+    # Opt-in until measured faster EMBEDDED on hardware (round-3 rule).
+    bn_impl: str = "xla"  # xla | fused
     # Instance extraction mechanism (SURVEY §2.8 — all three candidates):
     # "kernels" = cell-grid dynamic-kernel head + mask NMS; "connected" =
     # connected components of the thresholded saliency map (postproc-only,
@@ -145,6 +155,14 @@ class TrainConfig:
     # mid-epoch from that exact step. Handler installs on the main thread
     # only (Python signal rule) and the previous handler is restored.
     save_on_preemption: bool = True
+    # Multi-process runs agree on the preemption stop with a tiny psum
+    # program; that fetch is a device sync (~30 ms on the axon relay), so
+    # polling EVERY dispatch boundary would serialize the grouped-dispatch
+    # runahead. Poll the collective roughly every this-many train steps
+    # instead (preemption latency budget is seconds; 16 steps ≈ 1 s at the
+    # measured 68 ms/step). Single-process polling is a free local check
+    # and ignores this knob.
+    stop_poll_steps: int = 16
     keep_checkpoints: int = 3
     resume: str = "auto"  # auto | none | <path>
     remat: bool = False  # jax.checkpoint the backbone to save HBM
@@ -192,11 +210,23 @@ class InferConfig:
     # Needs original-resolution GT from the dataset
     # (FolderDataset/SyntheticDataset provide get_orig_masks).
     ap_at_original: bool = False
+    # Native-GT cache dir for the original-resolution eval (data/
+    # native_gt.py): per-image native GT is materialized ONCE, bit-packed,
+    # instead of regenerated/re-decoded per image inside the eval loop
+    # (round-4 measured that path ~100x slower than letterbox eval).
+    # "auto" = <infer.output_dir>/native_gt; "" disables (per-image reads).
+    native_gt_cache: str = "auto"
     # bfloat16 | float32 | int8. int8 = dynamic post-training quantization
     # (ops/quant.py): convs run s8xs8->s32 on the MXU (per-channel weight
     # scales, per-tensor dynamic activation scales, no calibration set),
     # everything else runs bf16. Checkpoints load unchanged.
     dtype: str = "bfloat16"
+    # connected mechanism only: boundary-aware splitting of merged
+    # components (ops/connected.py split_labels — erode, label cores,
+    # re-dilate with frozen fronts). "none" reproduces the plain labeling;
+    # "erode" separates touching instances whose union necks down.
+    connected_split: str = "erode"  # none | erode
+    connected_erode: int = 2  # erosion steps at the /4 mask resolution
     # Weighted F-measure (Margolin et al. CVPR 2014) on the eval path:
     # the exact on-device distance transform costs ~2.5 ms/img at 512^2;
     # false sheds it from the fused eval program.

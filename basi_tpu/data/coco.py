@@ -173,6 +173,7 @@ class CocoDataset:
         self.include_crowd = include_crowd
 
         ann = ann_file or self._find_annotations(root, split)
+        self.ann_path = ann  # native-GT cache key (data/native_gt.py)
         with open(ann) as f:
             doc = json.load(f)
 

@@ -46,14 +46,26 @@ class Inferencer:
         self.cfg = cfg
         if mesh is None and (cfg.parallel.num_devices > 1
                              or cfg.parallel.spatial_shards > 1):
-            from basi_tpu.parallel.mesh import make_mesh
+            # Auto-build an eval mesh from cfg.parallel — but only when it
+            # FITS this host. Export/serving paths construct an Inferencer
+            # from a user config that may be a multi-device TRAINING preset
+            # (e.g. train_v4-32_dp) on a smaller machine; a training knob
+            # must not break single-device eval/export there, so an
+            # oversized num_devices quietly falls back to one device.
+            # spatial_shards > 1 is always an explicit EVAL-parallel
+            # request and stays loud when it cannot be satisfied.
+            n_req = max(cfg.parallel.num_devices,
+                        cfg.parallel.spatial_shards)
+            if (cfg.parallel.spatial_shards > 1
+                    or n_req <= len(jax.devices())):
+                from basi_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(cfg.parallel.num_devices,
-                             cfg.parallel.data_axis,
-                             spatial_axis=cfg.parallel.spatial_axis,
-                             spatial_shards=cfg.parallel.spatial_shards)
-            data_axis = cfg.parallel.data_axis
-            spatial_axis = cfg.parallel.spatial_axis
+                mesh = make_mesh(cfg.parallel.num_devices,
+                                 cfg.parallel.data_axis,
+                                 spatial_axis=cfg.parallel.spatial_axis,
+                                 spatial_shards=cfg.parallel.spatial_shards)
+                data_axis = cfg.parallel.data_axis
+                spatial_axis = cfg.parallel.spatial_axis
         self.mesh = mesh
         self.data_axis = data_axis
         self.spatial_axis = (spatial_axis if mesh is not None
@@ -338,6 +350,8 @@ class Inferencer:
                     lambda sp: extract_instances(
                         sp, num_slots=cfg.model.num_slots,
                         threshold=icfg.mask_threshold,
+                        split=getattr(icfg, "connected_split", "none"),
+                        erode_steps=getattr(icfg, "connected_erode", 2),
                     )
                 )(sal_prob[..., 0])
                 keep = scores >= icfg.score_threshold
@@ -395,6 +409,8 @@ class Inferencer:
                     lambda sp: extract_instances(
                         sp, num_slots=cfg.model.num_slots,
                         threshold=icfg.mask_threshold,
+                        split=getattr(icfg, "connected_split", "none"),
+                        erode_steps=getattr(icfg, "connected_erode", 2),
                     )
                 )(sal_prob)
                 keep = scores >= icfg.score_threshold
@@ -560,7 +576,7 @@ class Inferencer:
         # (a fresh jax.jit wrapper per call would re-trace every batch).
         self._full_fn = jax.jit(self._to_full_res)
 
-    def _orig_eval_fn(self, canvas_hw: tuple[int, int]):
+    def _orig_eval_fn(self, canvas_hw: tuple[int, int], packed: bool = False):
         """One jitted paste+IoU+SOD program per canvas bucket (static
         shapes; reused across batches sharing the bucket, like the PNG
         path). Besides the matching IoU it recomputes the whole saliency
@@ -569,11 +585,12 @@ class Inferencer:
         the per-image original extent — the same content-masking idea as
         the letterbox path, with the extent replacing the letterbox
         region."""
-        cached = self._orig_iou_cache.get(canvas_hw)
+        cached = self._orig_iou_cache.get((canvas_hw, packed))
         if cached is not None:
             return cached
         thr = self.cfg.infer.mask_threshold
         use_wf = getattr(self.cfg.infer, "wf", True)
+        from basi_tpu.data.transforms import unpack_masks
         from basi_tpu.evals.saliency import (
             boundary_f_measure,
             e_measure_hist,
@@ -587,10 +604,14 @@ class Inferencer:
 
         @jax.jit
         def _fn(full, sal, valid_hw, orig_hw, gt_canvas, gt_valid):
+            if packed:  # bit-packed along W (NativeGTCache): 8x smaller
+                # upload; unpacks to the same 0/1 u8 the raw path gets.
+                gt_canvas = unpack_masks(gt_canvas, cw)
             pasted = paste_masks_batch(full, valid_hw, canvas_hw, orig_hw)
             pm = (pasted > thr).astype(jnp.float32)
             gm = gt_canvas.astype(jnp.float32)
             iou = jax.vmap(mask_iou_matrix)(pm, gm)
+            gt_areas = jnp.sum(gt_canvas.astype(jnp.int32), axis=(2, 3))
             sal_c = paste_masks_batch(
                 sal[:, None], valid_hw, canvas_hw, orig_hw)[:, 0]
             gv = gt_valid.astype(jnp.float32)
@@ -609,9 +630,9 @@ class Inferencer:
             bf_per = boundary_f_measure(sal_c, union, valid=extent)
             wf_per = (weighted_f_measure(sal_c, union, valid=extent)
                       if use_wf else jnp.zeros_like(s_per))
-            return iou, mae_per, f_mat, e_mat, s_per, bf_per, wf_per
+            return iou, mae_per, f_mat, e_mat, s_per, bf_per, wf_per, gt_areas
 
-        self._orig_iou_cache[canvas_hw] = _fn
+        self._orig_iou_cache[(canvas_hw, packed)] = _fn
         return _fn
 
     def _orig_frame_eval(self, full, sal, batch, dataset):
@@ -639,6 +660,23 @@ class Inferencer:
                 f"canvas cap; matching will crop")
         n = len(batch["index"])
         m_slots = batch["masks"].shape[1]
+        cache = self._gt_cache(dataset)
+        if cache is not None:
+            # Bit-packed canvas assembly from the NativeGTCache: 8x less
+            # host memcpy and 8x less relay upload than the raw path, and
+            # no per-image scene regeneration / PNG re-decode. cw is a
+            # 128-multiple, so the byte crop at cw//8 keeps exactly cw
+            # bits (packbits pads trailing bits with zeros — canvas zeros).
+            gt_p = np.zeros((n, m_slots, ch, cw // 8), np.uint8)
+            for j, gi in enumerate(batch["index"]):
+                packed, _, (oh, ow) = cache.get_packed(int(gi))
+                hh = min(oh, ch)
+                wb = min(packed.shape[-1], cw // 8)
+                gt_p[j, :, :hh, :wb] = packed[:, :hh, :wb]
+            return self._orig_eval_fn((ch, cw), packed=True)(
+                full, sal, jnp.asarray(batch["valid_hw"]),
+                jnp.asarray(batch["orig_hw"]), jnp.asarray(gt_p),
+                jnp.asarray(batch["valid"]))
         gt = np.zeros((n, m_slots, ch, cw), np.uint8)
         for j, gi in enumerate(batch["index"]):
             masks, _ = dataset.get_orig_masks(int(gi))
@@ -647,8 +685,26 @@ class Inferencer:
         return self._orig_eval_fn((ch, cw))(
             full, sal, jnp.asarray(batch["valid_hw"]),
             jnp.asarray(batch["orig_hw"]), jnp.asarray(gt),
-            jnp.asarray(batch["valid"])) + (
-            gt.astype(np.int64).sum(axis=(2, 3)),)
+            jnp.asarray(batch["valid"]))
+
+    def _gt_cache(self, dataset):
+        """NativeGTCache for this dataset (built/loaded once per dataset
+        object), or None when infer.native_gt_cache="" disables caching."""
+        cfg_dir = getattr(self.cfg.infer, "native_gt_cache", "auto")
+        if not cfg_dir:
+            return None
+        hit = getattr(self, "_gt_cache_obj", None)
+        if hit is not None and hit[0] is dataset:
+            return hit[1]
+        import os
+
+        from basi_tpu.data.native_gt import NativeGTCache
+
+        cache_dir = (os.path.join(self.cfg.infer.output_dir, "native_gt")
+                     if cfg_dir == "auto" else cfg_dir)
+        cache = NativeGTCache(dataset, cache_dir)
+        self._gt_cache_obj = (dataset, cache)
+        return cache
 
     def _to_full_res(self, probs: jnp.ndarray):
         """Upsample slot-mask PROBS to model input resolution (fused kernel,

@@ -56,6 +56,7 @@ class BASINet(nn.Module):
     # emits no batch_stats updates. Also drops BN's batch-reduce work (and
     # its backward) from the train step. Set via train.freeze_bn.
     bn_frozen: bool = False
+    bn_impl: str = "xla"  # xla | fused (models/norm.py FusedBatchNorm)
     stem_mode: str = "conv7"  # conv7 | s2d (bit-exact MXU-friendly stem)
     # BASNet-style residual refinement of the fused saliency map (RRM):
     # refined = coarse + RefineHead(sigmoid(coarse)). The coarse map joins
@@ -84,7 +85,8 @@ class BASINet(nn.Module):
         predicts; at inference the model selects its own top-k proposal
         boxes from the box head instead."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        trunk_kwargs = dict(name="backbone", bn_axis=self.bn_axis, **kw)
+        trunk_kwargs = dict(name="backbone", bn_axis=self.bn_axis,
+                            bn_impl=self.bn_impl, **kw)
         from basi_tpu.models.resnet import BLOCK_KIND, STAGE_SIZES
 
         if self.backbone in STAGE_SIZES:  # resnet18/34/50/101/152/_tiny
@@ -189,6 +191,7 @@ def create_model(cfg) -> BASINet:
         mask_channels=cfg.mask_channels,
         grid_size=cfg.grid_size,
         remat=getattr(cfg, "remat", False),
+        bn_impl=getattr(cfg, "bn_impl", "xla"),
         stem_mode=getattr(cfg, "stem_mode", "conv7"),
         refine=getattr(cfg, "refine", False),
         instance_mechanism=getattr(cfg, "instance_mechanism", "kernels"),

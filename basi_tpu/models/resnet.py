@@ -47,6 +47,7 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None  # cross-replica sync-BN axis under shard_map
+    bn_impl: str = "xla"  # xla | fused (models/norm.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -61,7 +62,10 @@ class ConvBN(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        from basi_tpu.models.norm import make_batch_norm
+
+        x = make_batch_norm(
+            self.bn_impl,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -82,11 +86,12 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None
+    bn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_axis=self.bn_axis)
+                  bn_axis=self.bn_axis, bn_impl=self.bn_impl)
         residual = x
         y = ConvBN(self.features, 1, 1, name="a", **kw)(x, train)
         y = nn.relu(y)
@@ -114,11 +119,12 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None
+    bn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_axis=self.bn_axis)
+                  bn_axis=self.bn_axis, bn_impl=self.bn_impl)
         residual = x
         y = ConvBN(self.features, 3, self.stride, name="a", **kw)(x, train)
         y = nn.relu(y)
@@ -160,6 +166,7 @@ class StemS2D(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None
+    bn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -178,7 +185,55 @@ class StemS2D(nn.Module):
             window_strides=(1, 1), padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = nn.BatchNorm(
+        from basi_tpu.models.norm import make_batch_norm
+
+        y = make_batch_norm(
+            self.bn_impl,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            axis_name=self.bn_axis, name="bn",
+        )(y)
+        return y
+
+
+class StemConv7Pad(nn.Module):
+    """conv7 stem with the 3-channel contraction zero-padded to 8 lanes.
+
+    Round-4 roofline: the stem's dW runs at 17 TF/s — a (7, 7, 3, 64)
+    weight gradient contracts over only 3 input channels, wasting the
+    MXU's contraction depth. Padding BOTH the image and the kernel with 5
+    zero channels is bit-equivalent in the forward (zero channels
+    contribute 0) and gives the dW contraction 8 lanes; the kernel
+    gradient flows back through the jnp.pad transpose (a slice) onto the
+    canonical (7, 7, 3, 64) parameter, so checkpoints and the torch
+    importer are unaffected. Opt-in via model.stem_mode='conv7p8' until
+    measured faster EMBEDDED on hardware (round-3 rule)."""
+
+    features: int = 64
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis: str | None = None
+    bn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
+        c = x.shape[-1]
+        k7 = _StemKernel(self.features, self.param_dtype, name="conv")(c)
+        pad_c = (-c) % 8
+        k = jnp.pad(k7, ((0, 0), (0, 0), (0, pad_c), (0, 0))).astype(
+            self.dtype)
+        xp = jnp.pad(x.astype(self.dtype),
+                     ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        y = jax.lax.conv_general_dilated(
+            xp, k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        from basi_tpu.models.norm import make_batch_norm
+
+        y = make_batch_norm(
+            self.bn_impl,
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype,
             axis_name=self.bn_axis, name="bn",
@@ -240,14 +295,17 @@ class ResNet50(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None
-    stem_mode: str = "conv7"  # conv7 | s2d
+    bn_impl: str = "xla"  # xla | fused (models/norm.py)
+    stem_mode: str = "conv7"  # conv7 | s2d | conv7p8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_axis=self.bn_axis)
+                  bn_axis=self.bn_axis, bn_impl=self.bn_impl)
         if self.stem_mode == "s2d":
             x = StemS2D(name="stem", **kw)(x, train)
+        elif self.stem_mode == "conv7p8":
+            x = StemConv7Pad(name="stem", **kw)(x, train)
         else:
             x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
         x = nn.relu(x)

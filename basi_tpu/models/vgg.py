@@ -34,6 +34,7 @@ class VGG16(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis: str | None = None  # unused: classic VGG has no BatchNorm
+    bn_impl: str = "xla"  # unused, kwargs-compat with the ResNet trunk
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:

@@ -90,20 +90,124 @@ def label_components(binary: jnp.ndarray, connectivity: int = 4,
     return jnp.where(fg, labels, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("num_slots", "connectivity"))
+def _erode(binary: jnp.ndarray, steps: int) -> jnp.ndarray:
+    """Morphological 3x3 erosion (zero-padded: the image border erodes),
+    ``steps`` times. binary: (H, W) bool."""
+    x = binary
+    for _ in range(steps):
+        p = jnp.pad(x, 1, constant_values=False)
+        out = x
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                out = out & p[1 + dy:p.shape[0] - 1 + dy,
+                              1 + dx:p.shape[1] - 1 + dx]
+        x = out
+    return x
+
+
+def _grow_labels(labels: jnp.ndarray, fg: jnp.ndarray,
+                 connectivity: int = 4,
+                 max_iters: int | None = None) -> jnp.ndarray:
+    """Frozen-front label growth (marker 'watershed' without heights):
+    assigned pixels KEEP their label; unassigned foreground pixels adopt
+    the min assigned neighbor label, one ring per iteration, so two seed
+    fronts meeting inside a merged blob split it at the meeting line
+    (ties -> min label) instead of flooding to one min like
+    label_components' global min-propagation would."""
+    h, w = labels.shape
+    cap = max_iters if max_iters is not None else h + w
+    shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 8:
+        shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+
+    def step(x):
+        nb = jnp.full_like(x, _INF)
+        for dy, dx in shifts:
+            shifted = jnp.roll(x, (dy, dx), axis=(0, 1))
+            if dy == -1:
+                shifted = shifted.at[-1, :].set(_INF)
+            elif dy == 1:
+                shifted = shifted.at[0, :].set(_INF)
+            if dx == -1:
+                shifted = shifted.at[:, -1].set(_INF)
+            elif dx == 1:
+                shifted = shifted.at[:, 0].set(_INF)
+            nb = jnp.minimum(nb, shifted)
+        return jnp.where((x < _INF) | ~fg, x, nb)
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < cap)
+
+    def body(state):
+        x, _, it = state
+        new = step(x)
+        return new, jnp.any(new != x), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    return labels
+
+
+def split_labels(binary: jnp.ndarray, erode_steps: int = 2,
+                 connectivity: int = 4) -> jnp.ndarray:
+    """Boundary-aware component labels (VERDICT r4 item 4): erode ->
+    label the cores -> grow the labels back over the original mask with
+    frozen fronts. Touching instances whose union necks down separate at
+    the erosion seam; the growth re-dilates each core to the full mask.
+    Foreground components that vanish entirely under erosion (small
+    instances) are rescued by a plain labeling pass over the unreached
+    remainder — their min-linear-index labels cannot collide with seed
+    labels (disjoint pixel sets, labels are member indices).
+    Returns (H, W) int32 labels, -1 = background."""
+    h, w = binary.shape
+    fg = binary
+    seeds = _erode(fg, erode_steps)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    # Label the seed CORES first (one core blob = one seed label), then
+    # grow. Seeding raw linear indices would grow h*w fronts and split
+    # every component into Voronoi cells of its own pixels.
+    core = label_components(seeds.astype(jnp.float32),
+                            connectivity=connectivity)
+    labels = jnp.where(core >= 0, core, _INF)
+    labels = _grow_labels(labels, fg, connectivity=connectivity,
+                          max_iters=4 * erode_steps + 8)
+    unreached = fg & (labels >= _INF)
+    rest = label_components(unreached.astype(jnp.float32),
+                            connectivity=connectivity)
+    labels = jnp.where(labels < _INF, labels, jnp.where(rest >= 0, rest, -1))
+    del idx
+    return jnp.where(fg, labels, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slots", "connectivity",
+                                             "split", "erode_steps"))
 def extract_instances(saliency_prob: jnp.ndarray, num_slots: int = 20,
                       threshold: float = 0.5, min_area: int = 16,
-                      connectivity: int = 4):
+                      connectivity: int = 4, split: str = "none",
+                      erode_steps: int = 2):
     """Connected-component instance extraction (mechanism (c)).
 
     saliency_prob: (H, W) probabilities. Returns (masks (K, H, W) 0/1,
     scores (K,)) where score = mean saliency inside the component and
     components are ordered by area. Empty slots are zero.
+
+    ``split="erode"``: boundary-aware splitting (split_labels) — erode by
+    ``erode_steps``, label the cores, re-dilate with frozen fronts so
+    merged touching instances separate at the erosion seam.
     """
     h, w = saliency_prob.shape
     binary = saliency_prob > threshold
-    labels = label_components(binary.astype(jnp.float32),
+    if split == "erode":
+        labels = split_labels(binary, erode_steps=erode_steps,
                               connectivity=connectivity)
+    elif split == "none":
+        labels = label_components(binary.astype(jnp.float32),
+                                  connectivity=connectivity)
+    else:
+        raise ValueError(f"split={split!r} (expected 'none' or 'erode')")
 
     flat = labels.reshape(-1)
     probs = saliency_prob.reshape(-1).astype(jnp.float32)

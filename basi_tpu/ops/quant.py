@@ -163,22 +163,39 @@ def quantized_conv(m: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
 
 def quantized_conv_interceptor(next_fn, args, kwargs, context):
     m = context.module
-    if type(m) is nn.Conv and context.method_name == "__call__":
-        if _supported(m, args, kwargs):
-            return quantized_conv(m, args[0])
-        try:
-            prequantized = m.variables["params"]["kernel"].dtype == jnp.int8
-        except Exception:
-            prequantized = False
-        if prequantized:
-            # Falling through would run the ORIGINAL conv on the raw int8
-            # codes (unscaled) — silently garbage. A pre-quantized tree
-            # must only meet convs the int8 twin fully reproduces.
+    if context.method_name == "__call__":
+        if type(m) is nn.Conv:
+            if _supported(m, args, kwargs):
+                return quantized_conv(m, args[0])
+            prequantized = _owns_int8_kernel(m)
+            if prequantized:
+                # Falling through would run the ORIGINAL conv on the raw
+                # int8 codes (unscaled) — silently garbage. A pre-quantized
+                # tree must only meet convs the int8 twin fully reproduces.
+                raise ValueError(
+                    f"pre-quantized int8 kernel on an unsupported conv "
+                    f"variant at {m.path!r}; prequantize_params is only "
+                    f"valid for plain NHWC convs")
+        elif _owns_int8_kernel(m):
+            # prequantize_params rewrites EVERY 4D Mapping leaf named
+            # 'kernel'; if a module the interceptor does not handle (e.g.
+            # a future nn.ConvTranspose) owns one, its original __call__
+            # would consume the raw int8 codes — fail loudly instead so
+            # the transform's scope and this guard's scope stay matched.
             raise ValueError(
-                f"pre-quantized int8 kernel on an unsupported conv "
-                f"variant at {m.path!r}; prequantize_params is only "
-                f"valid for plain NHWC convs")
+                f"pre-quantized int8 'kernel' on unsupported module type "
+                f"{type(m).__name__} at {m.path!r}; int8 serving only "
+                f"quantizes plain nn.Conv kernels")
     return next_fn(*args, **kwargs)
+
+
+def _owns_int8_kernel(m) -> bool:
+    """True iff THIS module (not a child) holds a 4D int8 'kernel'."""
+    try:
+        k = m.variables["params"]["kernel"]
+        return getattr(k, "ndim", 0) == 4 and k.dtype == jnp.int8
+    except Exception:
+        return False
 
 
 @contextlib.contextmanager

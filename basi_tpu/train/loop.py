@@ -234,7 +234,7 @@ class Trainer:
                 f"mesh health check failed: psum of ones over {axis!r} "
                 f"returned {total}, expected {n}")
 
-    def _should_stop(self) -> bool:
+    def _should_stop(self, boundary: int = -1) -> bool:
         """The preemption-stop decision, agreed across processes.
 
         The SIGTERM flag is per-process (a cluster may deliver eviction to
@@ -244,9 +244,24 @@ class Trainer:
         runs therefore psum the flag at dispatch boundaries (every process
         polls at the same loop points, so the collectives line up) and ALL
         stop iff ANY process was signalled, at the same step.
-        Single-process keeps the free local check."""
+        Single-process keeps the free local check.
+
+        ``boundary``: the in-epoch dispatch-boundary index. The psum fetch
+        is a blocking device sync (device queues are FIFO, so the host
+        waits for the just-dispatched group — ~30 ms on the axon relay);
+        to keep the dispatch runahead, multi-process runs only poll the
+        collective every ``train.stop_poll_steps`` steps' worth of
+        boundaries and answer False in between (NOT the local flag: a
+        one-process-local True would diverge the loops). -1 forces a poll
+        (the per-epoch tail check)."""
         if self.process_count == 1 or self.mesh is None:
             return self._preempt.is_set()
+        if boundary >= 0:
+            group = max(1, self.cfg.train.steps_per_dispatch)
+            every = max(1, -(-getattr(self.cfg.train, "stop_poll_steps", 16)
+                             // group))
+            if (boundary + 1) % every:
+                return False
         return self._sync_flag(1.0 if self._preempt.is_set() else 0.0) > 0.0
 
     def close(self):
@@ -397,14 +412,16 @@ class Trainer:
                 # dispatches a partial group — an arbitrary arity would be
                 # a fresh XLA compile under the SIGTERM grace deadline.
                 # Latency cost: at most one group (<1 s) before the stop.
+                boundary = 0
                 for batch in self.feed.epoch(epoch, skip=already):
                     buf.append(batch)
                     if len(buf) == group:
                         dispatch()
-                        if self._should_stop():
+                        if self._should_stop(boundary):
                             return self._handle_preemption(
                                 host_step, epoch, last_saved_step,
                                 last_metrics)
+                        boundary += 1
                 dispatch()  # epoch tail (its arity compiles once, reused
                 # every epoch — not a preempt-path-only compile)
                 if self._should_stop():

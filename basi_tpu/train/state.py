@@ -97,7 +97,7 @@ def make_optimizer(cfg, max_steps: int) -> tuple[optax.GradientTransformation, o
     else:
         raise ValueError(f"unknown train.optimizer {kind!r} (sgd | adamw)")
     tx = optax.chain(*chain)
-    if getattr(cfg, "flatten_optimizer", True):
+    if getattr(cfg, "flatten_optimizer", False):
         tx = optax.flatten(tx)
     return tx, sched
 

@@ -22,7 +22,10 @@ def tiny_config(batch_size: int = 8, image_size: int = 64) -> Config:
             checkpoint_dir="", resume="none",
         ),
         infer=InferConfig(batch_size=batch_size, dtype="float32",
-                          pre_nms_top_k=16),
+                          pre_nms_top_k=16,
+                          # Keep unit tests from writing ./out/native_gt;
+                          # the cache has its own tmp_path-scoped tests.
+                          native_gt_cache=""),
     )
 
 

@@ -132,3 +132,88 @@ def test_instance_mechanism_unknown_rejected():
         cfg, data=dataclasses.replace(cfg.data, image_size=64))
     with pytest.raises(ValueError, match="instance_mechanism"):
         Inferencer(cfg)
+
+
+def test_split_labels_separates_touching_blobs():
+    """Two circles joined by a thin neck: plain labeling yields ONE
+    component; erode-split separates them at the neck and the frozen-front
+    re-dilation recovers (almost) the full pixels of each side."""
+    import numpy as np
+
+    from basi_tpu.ops.connected import label_components, split_labels
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    c1 = (yy - 32) ** 2 + (xx - 18) ** 2 <= 100
+    c2 = (yy - 32) ** 2 + (xx - 46) ** 2 <= 100
+    neck = (np.abs(yy - 32) <= 1) & (xx >= 18) & (xx <= 46)
+    blob = c1 | c2 | neck
+    import jax.numpy as jnp
+
+    plain = np.asarray(label_components(jnp.asarray(blob, jnp.float32)))
+    assert len(np.unique(plain[plain >= 0])) == 1  # merged
+
+    lab = np.asarray(split_labels(jnp.asarray(blob), erode_steps=2))
+    ids = np.unique(lab[lab >= 0])
+    assert len(ids) == 2, ids
+    # every foreground pixel is assigned (re-dilation covers the mask)
+    assert (lab[blob] >= 0).all()
+    # each circle's core is one label, and they differ
+    assert lab[32, 18] != lab[32, 46]
+    # the split line falls inside the neck, not inside a circle body
+    left = lab == lab[32, 18]
+    right = lab == lab[32, 46]
+    assert left[c1 & ~neck].mean() > 0.95
+    assert right[c2 & ~neck].mean() > 0.95
+
+
+def test_split_labels_rescues_small_components():
+    """A component smaller than the erosion footprint must not vanish:
+    the residual pass labels it (VERDICT r4 item 4 slot contract)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from basi_tpu.ops.connected import split_labels
+
+    blob = np.zeros((32, 32), bool)
+    blob[4:6, 4:6] = True  # 2x2: gone after one 3x3 erosion
+    blob[20:30, 20:30] = True  # big: survives
+    lab = np.asarray(split_labels(jnp.asarray(blob), erode_steps=2))
+    assert (lab[blob] >= 0).all()
+    assert lab[4, 4] != lab[25, 25]
+    assert len(np.unique(lab[lab >= 0])) == 2
+
+
+def test_split_none_matches_plain_extraction():
+    """split='none' must reproduce the original extract_instances
+    outputs bitwise (the default changed; the old behavior is pinned)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from basi_tpu.ops.connected import extract_instances, label_components
+
+    rng = np.random.RandomState(0)
+    p = rng.rand(48, 48).astype(np.float32)
+    m0, s0 = extract_instances(jnp.asarray(p), num_slots=8, split="none")
+    # direct reconstruction through the plain path
+    m1, s1 = extract_instances(jnp.asarray(p), num_slots=8)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_split_separated_blobs_unchanged_vs_plain():
+    """Non-touching blobs: erode-split and plain labeling pack identical
+    instances (same pixels per slot)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from basi_tpu.ops.connected import extract_instances
+
+    p = np.zeros((64, 64), np.float32)
+    p[8:20, 8:20] = 0.9
+    p[40:60, 30:55] = 0.8
+    a_m, a_s = extract_instances(jnp.asarray(p), num_slots=4, split="none")
+    b_m, b_s = extract_instances(jnp.asarray(p), num_slots=4, split="erode",
+                                 erode_steps=2)
+    np.testing.assert_array_equal(np.asarray(a_m), np.asarray(b_m))
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(b_s), rtol=1e-6)

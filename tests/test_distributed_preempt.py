@@ -45,7 +45,11 @@ cfg = Config(
                     max_instances=4, synthetic_n=8),
     train=TrainConfig(epochs=2, lr=1e-3, log_every=1,
                       checkpoint_dir=ckpt_dir, resume="auto",
-                      async_checkpoint=True),
+                      async_checkpoint=True,
+                      # Poll the collective stop flag at EVERY boundary so
+                      # the 2-step epoch stops exactly at preempt_at (the
+                      # production default of 16 amortizes the psum sync).
+                      stop_poll_steps=1),
     infer=InferConfig(batch_size=4, dtype="float32", pre_nms_top_k=16),
     parallel=ParallelConfig(num_devices=0),
 )

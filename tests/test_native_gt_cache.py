@@ -1,0 +1,101 @@
+"""NativeGTCache (VERDICT r4 item 3): the original-resolution eval reads
+bit-packed cached native GT instead of regenerating/re-decoding per image.
+Pins: (a) cached eval metrics == regeneration-path metrics bitwise, (b)
+the disk cache is actually reused (no get_orig_masks calls on a warm
+cache), (c) key invalidation rebuilds."""
+
+import dataclasses
+
+import numpy as np
+
+from basi_tpu.data.datasets import SyntheticDataset
+from basi_tpu.data.native_gt import NativeGTCache, dataset_cache_key
+from basi_tpu.infer import Inferencer
+
+from helpers import tiny_config
+
+
+def _orig_cfg(tmp_path, cache: bool):
+    cfg = tiny_config(batch_size=4)
+    return dataclasses.replace(
+        cfg, infer=dataclasses.replace(
+            cfg.infer, ap_at_original=True,
+            native_gt_cache=str(tmp_path / "gtc") if cache else ""))
+
+
+def test_cached_orig_eval_matches_regeneration_bitwise(tmp_path):
+    ds = SyntheticDataset(n=8, image_size=64, max_instances=4, seed=3,
+                          orig_max_scale=1.7)
+    inf = Inferencer(_orig_cfg(tmp_path, cache=False))
+    m_raw = inf.evaluate(dataset=ds)
+
+    inf2 = Inferencer(_orig_cfg(tmp_path, cache=True),
+                      params=inf.params, batch_stats=inf.batch_stats)
+    m_cached = inf2.evaluate(dataset=ds)
+
+    timing = ("infer_ms_per_batch", "imgs_per_s", "png_ms_per_batch")
+    a = {k: v for k, v in m_raw.items() if k not in timing}
+    b = {k: v for k, v in m_cached.items() if k not in timing}
+    assert a == b, (a, b)
+
+
+def test_warm_cache_skips_regeneration(tmp_path):
+    ds = SyntheticDataset(n=6, image_size=64, max_instances=4, seed=4,
+                          orig_max_scale=1.5)
+    NativeGTCache(ds, str(tmp_path))  # build
+
+    calls = []
+    orig = SyntheticDataset.get_orig_masks
+
+    class Spy(SyntheticDataset):
+        def get_orig_masks(self, i):
+            calls.append(i)
+            return orig(self, i)
+
+    spy = Spy(n=6, image_size=64, max_instances=4, seed=4,
+              orig_max_scale=1.5)
+    cache = NativeGTCache(spy, str(tmp_path))
+    for i in range(6):
+        packed, valid, (oh, ow) = cache.get_packed(i)
+        masks, v = orig(spy, i)
+        assert (oh, ow) == masks.shape[1:]
+        np.testing.assert_array_equal(
+            np.packbits(masks > 0, axis=-1), packed)
+        np.testing.assert_array_equal(np.asarray(v, np.uint8), valid)
+    # Spy subclass shares SyntheticDataset's key fields, so the warm file
+    # is found and NOTHING regenerates.
+    assert calls == []
+
+
+def test_key_change_invalidates(tmp_path):
+    ds1 = SyntheticDataset(n=4, image_size=64, max_instances=4, seed=1,
+                           orig_max_scale=1.5)
+    ds2 = SyntheticDataset(n=4, image_size=64, max_instances=4, seed=2,
+                           orig_max_scale=1.5)
+    assert dataset_cache_key(ds1) != dataset_cache_key(ds2)
+    c1 = NativeGTCache(ds1, str(tmp_path))
+    c2 = NativeGTCache(ds2, str(tmp_path))
+    m1 = c1.get_packed(0)[0]
+    m2 = c2.get_packed(0)[0]
+    assert m1.shape != m2.shape or not np.array_equal(m1, m2)
+
+
+def test_memory_fallback_without_key():
+    class Anon:
+        def __len__(self):
+            return 2
+
+        def get_orig_masks(self, i):
+            m = np.zeros((2, 16, 24), np.uint8)
+            m[0, :8, :12] = 1
+            return m, np.array([1, 0], np.uint8)
+
+    a = Anon()
+    assert dataset_cache_key(a) is None
+    cache = NativeGTCache(a, "/nonexistent-should-not-be-created")
+    p1 = cache.get_packed(0)
+    p2 = cache.get_packed(0)
+    assert p1[0] is p2[0]  # memoized
+    import os
+
+    assert not os.path.exists("/nonexistent-should-not-be-created")

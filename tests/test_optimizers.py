@@ -92,3 +92,31 @@ def test_adamw_cosine_train_step_decreases_loss():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_flatten_optimizer_fallback_is_off_for_ducktyped_cfg():
+    """A cfg object LACKING flatten_optimizer (older serialized config,
+    duck-typed test cfg) must get the per-leaf chain — the dataclass
+    default and the measured-faster path. A True fallback silently
+    switched such configs to optax.flatten, whose opt_state layout also
+    breaks checkpoint-restore compatibility (ADVICE r4 medium)."""
+
+    class Duck:
+        # every field make_optimizer reads EXCEPT flatten_optimizer
+        grad_clip_norm = 0.0
+        optimizer = "sgd"
+        weight_decay = 0.0
+        momentum = 0.9
+        lr = 1e-2
+        schedule = "constant"
+        warmup_steps = 0
+
+    tx, _ = make_optimizer(Duck(), max_steps=10)
+    params = {"a": jnp.zeros((2,), jnp.float32),
+              "b": jnp.zeros((3,), jnp.float32)}
+    st = tx.init(params)
+    # optax.flatten's init state carries flattened vectors; the per-leaf
+    # chain keeps the params' pytree structure inside the momentum state.
+    leaves = jax.tree_util.tree_leaves(st)
+    assert all(leaf.shape in ((2,), (3,), ()) for leaf in leaves), [
+        leaf.shape for leaf in leaves]

@@ -112,3 +112,49 @@ def test_host_packed_feed_matches_raw(rng):
     np.testing.assert_array_equal(np.asarray(s_raw), np.asarray(s_pk))
     np.testing.assert_array_equal(np.asarray(m_raw), np.asarray(m_pk))
     np.testing.assert_array_equal(np.asarray(sal_raw), np.asarray(sal_pk))
+
+
+def test_conv7p8_stem_forward_and_grad_parity(rng):
+    """The channel-padded stem (stem_mode=conv7p8): same params, same
+    forward as conv7 (zero channels contribute 0; the wider contraction
+    may reassociate the reduction, so allclose not bitwise), and the
+    (7,7,3,64) kernel gradient equal to the plain conv's (the dW on the
+    padded kernel slices back through the pad transpose)."""
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    m7 = ResNet50(stage_sizes=(1, 1, 1, 1), stem_mode="conv7")
+    mp = ResNet50(stage_sizes=(1, 1, 1, 1), stem_mode="conv7p8")
+    v = m7.init(jax.random.PRNGKey(0), x, False)
+    out7 = m7.apply(v, x, False)
+    outp = mp.apply(v, x, False)
+    for a, b in zip(out7, outp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # Gradient parity at the stem itself with a well-conditioned loss
+    # (tanh * random weights). Comparing deep-net gradients THROUGH the
+    # train-mode BN stack is chaotic: conv+BN weight gradients live in
+    # near-cancelling scale-invariant subspaces, so the 1e-6 forward
+    # reassociation noise amplifies arbitrarily. The padded dW's slice
+    # transpose is what this pins.
+    k7p = v["params"]["stem"]["conv"]["kernel"]
+    w = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+
+    def conv7(k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def conv7p8(k):
+        kp_ = jnp.pad(k, ((0, 0), (0, 0), (0, 5), (0, 0)))
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+        return jax.lax.conv_general_dilated(
+            xp, kp_, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    g7 = jax.grad(lambda k: jnp.sum(jnp.tanh(conv7(k)) * w))(k7p)
+    gp = jax.grad(lambda k: jnp.sum(jnp.tanh(conv7p8(k)) * w))(k7p)
+    assert np.asarray(gp).shape == (7, 7, 3, 64)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(gp)), float(jnp.linalg.norm(g7)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(g7),
+                               rtol=1e-2, atol=1e-3)
