@@ -28,15 +28,19 @@ class ModelConfig:
     # the ingest step learns to emit s2d layout directly.
     # conv7p8 pads the stem's 3-channel contraction to 8 zero lanes
     # (bit-equivalent forward, canonical (7,7,3,64) param; targets the
-    # round-4 trace's 1.15 ms conv7-dW at 17 TF/s). Opt-in until measured.
+    # round-4 trace's 1.15 ms conv7-dW at 17 TF/s). Round-5 on-chip A/B:
+    # 68.72 vs 67.69 ms/step — the padded-input materialization eats the
+    # dW win; stays opt-in.
     stem_mode: str = "conv7"  # conv7 | s2d | conv7p8
     # BatchNorm implementation for the trunk: "xla" = nn.BatchNorm (XLA
-    # autodiff reduces), "fused" = FusedBatchNorm (models/norm.py): Pallas
-    # streaming per-channel reductions in conv-preferred layout + a
-    # hand-written elementwise backward — targets the ~4.5 ms of
-    # transpose-welded BN-stat fusions in the round-4 BN-train trace.
-    # Opt-in until measured faster EMBEDDED on hardware (round-3 rule).
-    bn_impl: str = "xla"  # xla | fused
+    # autodiff reduces); "fused" = FusedBatchNorm (models/norm.py, Pallas
+    # reductions + hand-written backward); "stats" = Pallas forward
+    # moments only. Round-5 on-chip A/B (bf16 batch-16 512², best-of-3):
+    # xla 67.69 / fused 84.41 / stats 73.11 ms/step — the custom-call
+    # boundary re-pays the HBM traffic XLA's welded fusions amortize
+    # (docs/DESIGN.md round-5 log), so "xla" stays the default and the
+    # alternatives remain correct, tested opt-ins.
+    bn_impl: str = "xla"  # xla | fused | stats
     # Instance extraction mechanism (SURVEY §2.8 — all three candidates):
     # "kernels" = cell-grid dynamic-kernel head + mask NMS; "connected" =
     # connected components of the thresholded saliency map (postproc-only,

@@ -106,6 +106,34 @@ def _bn_bwd(axis_name, eps, res, cts):
 bn_train_apply.defvjp(_bn_fwd, _bn_bwd)
 
 
+@jax.custom_vjp
+def batch_moments(x):
+    """(mean, mean-of-squares) over (N, H, W) per channel, f32 — the
+    Pallas streaming reduce with an analytic ELEMENTWISE backward
+    (dmean/dx = g/M, dmeansq/dx = 2x g/M), so autodiff never materializes
+    reduce ops for the forward stats. Used by bn_impl="stats": only the
+    forward stat reduces leave XLA; the normalize apply stays a plain
+    expression whose backward reduces XLA fuses as before."""
+    moments = channel_moments if _use_pallas() else channel_moments_reference
+    sx, sx2 = moments(x)
+    m = x.shape[0] * x.shape[1] * x.shape[2]
+    return sx / m, sx2 / m
+
+
+def _moments_fwd(x):
+    return batch_moments(x), x
+
+
+def _moments_bwd(x, cts):
+    g_mean, g_msq = cts
+    m = x.shape[0] * x.shape[1] * x.shape[2]
+    dx = (g_mean / m + 2.0 * x.astype(jnp.float32) * (g_msq / m))
+    return (dx.astype(x.dtype),)
+
+
+batch_moments.defvjp(_moments_fwd, _moments_bwd)
+
+
 class FusedBatchNorm(nn.Module):
     """Drop-in ``nn.BatchNorm`` twin (same variables/semantics) with the
     fused Pallas train-mode forward/backward. Eval mode reproduces flax's
@@ -118,6 +146,11 @@ class FusedBatchNorm(nn.Module):
     dtype: Any = None
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
+    # "full": hand-written backward for the whole normalize (bn_train_
+    # apply). "stats": only the forward stat reduces go through the
+    # Pallas op (batch_moments, elementwise backward); the apply is a
+    # plain expression whose backward reduces stay XLA-fused.
+    mode: str = "full"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -141,8 +174,18 @@ class FusedBatchNorm(nn.Module):
             mul = jax.lax.rsqrt(var + jnp.asarray(self.epsilon, mean.dtype))
             y = y * (mul * sc)
             return y + bi
-        y, mean, var = bn_train_apply(x, scale, bias, self.axis_name,
-                                      float(self.epsilon))
+        if self.mode == "stats":
+            mean, mean2 = batch_moments(x)
+            if self.axis_name:
+                mean, mean2 = jax.lax.pmean((mean, mean2), self.axis_name)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            inv = jax.lax.rsqrt(var + float(self.epsilon))
+            a = scale.astype(jnp.float32) * inv
+            b = bias.astype(jnp.float32) - mean * a
+            y = (x.astype(jnp.float32) * a + b).astype(x.dtype)
+        else:
+            y, mean, var = bn_train_apply(x, scale, bias, self.axis_name,
+                                          float(self.epsilon))
         if not self.is_initializing():
             mom = jnp.asarray(self.momentum, jnp.float32)
             ra_mean.value = mom * ra_mean.value + (1.0 - mom) * mean
@@ -156,14 +199,15 @@ def make_batch_norm(impl: str, *, use_running_average: bool,
                     axis_name: str | None = None, name: str = "bn"):
     """BN factory: ``impl`` "xla" -> nn.BatchNorm (status quo), "fused" ->
     FusedBatchNorm. One switch point for every BN site in the trunk."""
-    if impl == "fused":
+    if impl in ("fused", "stats"):
         return FusedBatchNorm(
             use_running_average=use_running_average, momentum=momentum,
             epsilon=epsilon, dtype=dtype, param_dtype=param_dtype,
-            axis_name=axis_name, name=name)
+            axis_name=axis_name, name=name,
+            mode="stats" if impl == "stats" else "full")
     if impl != "xla":
-        raise ValueError(f"model.bn_impl={impl!r} (expected 'xla' or "
-                         f"'fused')")
+        raise ValueError(f"model.bn_impl={impl!r} (expected 'xla', "
+                         f"'fused' or 'stats')")
     return nn.BatchNorm(
         use_running_average=use_running_average, momentum=momentum,
         epsilon=epsilon, dtype=dtype, param_dtype=param_dtype,

@@ -186,3 +186,35 @@ def test_train_step_parity_fused_vs_xla_bn():
             ls.append(float(metrics["loss"]))
         losses[impl] = ls
     np.testing.assert_allclose(losses["fused"], losses["xla"], rtol=1e-4)
+
+
+def test_stats_mode_matches_flax_values_and_grads():
+    """bn_impl='stats' hybrid: Pallas forward moments with elementwise
+    backward, XLA apply — values and grads vs nn.BatchNorm."""
+    rng = np.random.RandomState(8)
+    x0 = jnp.asarray(rng.randn(4, 8, 8, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 8, 8, 32).astype(np.float32))
+    kw = dict(use_running_average=False, momentum=0.9, epsilon=1e-5,
+              dtype=jnp.float32, param_dtype=jnp.float32)
+    ref = nn.BatchNorm(**kw)
+    hyb = FusedBatchNorm(mode="stats", **kw)
+    params = {"scale": jnp.asarray(rng.rand(32) + 0.5, jnp.float32),
+              "bias": jnp.asarray(rng.randn(32), jnp.float32)}
+    stats = {"mean": jnp.zeros((32,)), "var": jnp.ones((32,))}
+
+    def loss(module, x, p):
+        y, _ = module.apply({"params": p, "batch_stats": stats}, x,
+                            mutable=["batch_stats"])
+        return jnp.sum(jnp.tanh(y) * w)
+
+    l_ref = loss(ref, x0, params)
+    l_h = loss(hyb, x0, params)
+    np.testing.assert_allclose(float(l_h), float(l_ref), rtol=1e-5)
+    g_ref = jax.grad(functools.partial(loss, ref), argnums=(0, 1))(x0, params)
+    g_h = jax.grad(functools.partial(loss, hyb), argnums=(0, 1))(x0, params)
+    np.testing.assert_allclose(np.asarray(g_h[0]), np.asarray(g_ref[0]),
+                               rtol=3e-4, atol=3e-5)
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(np.asarray(g_h[1][k]),
+                                   np.asarray(g_ref[1][k]),
+                                   rtol=3e-4, atol=3e-5)
