@@ -226,11 +226,16 @@ class InferConfig:
     # everything else runs bf16. Checkpoints load unchanged.
     dtype: str = "bfloat16"
     # connected mechanism only: boundary-aware splitting of merged
-    # components (ops/connected.py split_labels — erode, label cores,
-    # re-dilate with frozen fronts). "none" reproduces the plain labeling;
-    # "erode" separates touching instances whose union necks down.
-    connected_split: str = "erode"  # none | erode
-    connected_erode: int = 2  # erosion steps at the /4 mask resolution
+    # components (ops/connected.py). "none" = plain labeling; "erode" =
+    # erosion cores + frozen-front re-dilation (splits necked unions
+    # only); "edt" = EDT-watershed (h-maxima of the exact distance
+    # transform as seeds — also splits SMOOTH occlusion unions). Round-5
+    # on-chip bench_accuracy (kernels ckpt, orig-res eval): none 0.181 /
+    # erode 0.187 / edt 0.320 mAP -> edt is the default.
+    connected_split: str = "edt"  # none | erode | edt
+    # erode: erosion steps; edt: minimum seed distance (both at the /4
+    # mask resolution).
+    connected_erode: int = 2
     # Weighted F-measure (Margolin et al. CVPR 2014) on the eval path:
     # the exact on-device distance transform costs ~2.5 ms/img at 512^2;
     # false sheds it from the fused eval program.

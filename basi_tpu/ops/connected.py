@@ -182,6 +182,100 @@ def split_labels(binary: jnp.ndarray, erode_steps: int = 2,
     return jnp.where(fg, labels, -1)
 
 
+def split_labels_edt(binary: jnp.ndarray, connectivity: int = 4,
+                     min_seed_dist: float = 2.0) -> jnp.ndarray:
+    """Watershed-style splitting: seeds at the maxima of the exact
+    Euclidean distance transform, grown back with frozen fronts.
+
+    Erosion (split_labels) only separates unions that NECK DOWN; two
+    overlapping convex instances (the occlusion case the synthetic scenes
+    are full of) form a SMOOTH union it cannot split. Their distance
+    transform, however, has one maximum per instance body, and growing
+    labels from those maxima partitions the union at the saddle — the
+    classic EDT-watershed nuclei split, built from the same exact EDT the
+    weighted-F metric uses (evals/saliency._edt_payload).
+
+    Distance values are rounded to integers before the plateau test:
+    exact squared distances are integer sums of two squares, and their
+    ±1-pixel discretization dips would otherwise break one instance's
+    ridge plateau into several maxima components (oversplit). Maxima
+    below ``min_seed_dist`` (thin structures, boundary noise) are not
+    seeds; foreground never reached by the growth (seedless thin
+    components) is rescued by a residual labeling pass.
+    """
+    from basi_tpu.evals.saliency import _edt_payload
+
+    h, w = binary.shape
+    fg = binary
+    # 1-pixel background ring: edge-touching blobs get a finite distance
+    # (the frame boundary IS a boundary).
+    bg = jnp.pad(~fg, 1, constant_values=True).astype(jnp.float32)
+    d2, _ = _edt_payload(bg, jnp.zeros_like(bg))
+    dist = jnp.sqrt(d2[1:-1, 1:-1]) * fg
+    # Seeds = h-maxima: points whose peak PROMINENCE exceeds ``h_depth``
+    # (a plain 3x3 plateau test also fires on every saddle/ridge point —
+    # measured: it fragments one union into ~9 seeds). Morphological
+    # reconstruction of (dist - h) under dist by geodesic 3x3 dilation:
+    # rec converges to the h-maxima transform, and dist - rec >= h only
+    # inside peaks that stand at least h above every escape path.
+    h_depth = 1.0
+
+    def _cond(state):
+        rec, changed, it = state
+        return jnp.logical_and(changed, it < h + w)
+
+    def _body(state):
+        rec, _, it = state
+        new = jnp.minimum(-_erode_like_max(-rec), dist)
+        return new, jnp.any(new != rec), it + 1
+
+    rec, _, _ = jax.lax.while_loop(
+        _cond, _body, (dist - h_depth, jnp.bool_(True), jnp.int32(0)))
+    seeds = fg & (dist - rec >= h_depth) & (dist >= min_seed_dist)
+    # Bridge discretization dips along one instance's ridge: dilate the
+    # seed set 2 px (within fg) before labeling, so fragments of ONE
+    # ridge merge while distinct bodies (saddle-separated, > 5 px apart)
+    # stay separate cores.
+    seeds = _dilate(seeds, 2) & fg
+    core = label_components(seeds.astype(jnp.float32),
+                            connectivity=connectivity)
+    labels = jnp.where(core >= 0, core, _INF)
+    labels = _grow_labels(labels, fg, connectivity=connectivity)
+    unreached = fg & (labels >= _INF)
+    rest = label_components(unreached.astype(jnp.float32),
+                            connectivity=connectivity)
+    labels = jnp.where(labels < _INF, labels, jnp.where(rest >= 0, rest, -1))
+    return jnp.where(fg, labels, -1)
+
+
+def _erode_like_max(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 min filter on floats (edge-replicated): used negated as the
+    3x3 max (geodesic dilation step of the h-maxima reconstruction)."""
+    p = jnp.pad(x, 1, mode="edge")
+    out = x
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out = jnp.minimum(out, p[1 + dy:p.shape[0] - 1 + dy,
+                                     1 + dx:p.shape[1] - 1 + dx])
+    return out
+
+
+def _dilate(binary: jnp.ndarray, steps: int) -> jnp.ndarray:
+    """Morphological 3x3 dilation, ``steps`` times. binary: (H, W) bool."""
+    x = binary
+    for _ in range(steps):
+        p = jnp.pad(x, 1, constant_values=False)
+        out = x
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                out = out | p[1 + dy:p.shape[0] - 1 + dy,
+                              1 + dx:p.shape[1] - 1 + dx]
+        x = out
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("num_slots", "connectivity",
                                              "split", "erode_steps"))
 def extract_instances(saliency_prob: jnp.ndarray, num_slots: int = 20,
@@ -197,17 +291,23 @@ def extract_instances(saliency_prob: jnp.ndarray, num_slots: int = 20,
     ``split="erode"``: boundary-aware splitting (split_labels) — erode by
     ``erode_steps``, label the cores, re-dilate with frozen fronts so
     merged touching instances separate at the erosion seam.
+    ``split="edt"``: EDT-watershed splitting (split_labels_edt) — also
+    separates SMOOTH occlusion unions erosion cannot.
     """
     h, w = saliency_prob.shape
     binary = saliency_prob > threshold
     if split == "erode":
         labels = split_labels(binary, erode_steps=erode_steps,
                               connectivity=connectivity)
+    elif split == "edt":
+        labels = split_labels_edt(binary, connectivity=connectivity,
+                                  min_seed_dist=float(max(erode_steps, 1)))
     elif split == "none":
         labels = label_components(binary.astype(jnp.float32),
                                   connectivity=connectivity)
     else:
-        raise ValueError(f"split={split!r} (expected 'none' or 'erode')")
+        raise ValueError(
+            f"split={split!r} (expected 'none', 'erode' or 'edt')")
 
     flat = labels.reshape(-1)
     probs = saliency_prob.reshape(-1).astype(jnp.float32)

@@ -217,3 +217,48 @@ def test_split_separated_blobs_unchanged_vs_plain():
                                  erode_steps=2)
     np.testing.assert_array_equal(np.asarray(a_m), np.asarray(b_m))
     np.testing.assert_allclose(np.asarray(a_s), np.asarray(b_s), rtol=1e-6)
+
+
+def test_split_edt_separates_smooth_occlusion_union():
+    """Two overlapping circles form a SMOOTH union (no neck): erode-split
+    cannot separate them, EDT-watershed must (one distance maximum per
+    body, labels meet at the saddle)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from basi_tpu.ops.connected import split_labels, split_labels_edt
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    c1 = (yy - 32) ** 2 + (xx - 22) ** 2 <= 144  # r=12
+    c2 = (yy - 32) ** 2 + (xx - 42) ** 2 <= 144  # r=12, overlapping
+    blob = c1 | c2
+
+    ero = np.asarray(split_labels(jnp.asarray(blob), erode_steps=2))
+    assert len(np.unique(ero[ero >= 0])) == 1  # smooth union: no split
+
+    lab = np.asarray(split_labels_edt(jnp.asarray(blob)))
+    assert (lab[blob] >= 0).all()
+    assert lab[32, 22] != lab[32, 42]
+    assert len(np.unique(lab[lab >= 0])) == 2
+    # each center's region covers most of its exclusive pixels
+    left = lab == lab[32, 22]
+    right = lab == lab[32, 42]
+    assert left[c1 & ~c2].mean() > 0.9
+    assert right[c2 & ~c1].mean() > 0.9
+
+
+def test_split_edt_does_not_oversplit_single_ellipse():
+    """One elongated ellipse: the integer-rounded ridge plateau must stay
+    ONE seed component (no oversplit from discretization dips)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from basi_tpu.ops.connected import split_labels_edt
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    ell = ((yy - 32) / 8.0) ** 2 + ((xx - 32) / 24.0) ** 2 <= 1.0
+    lab = np.asarray(split_labels_edt(jnp.asarray(ell)))
+    assert (lab[ell] >= 0).all()
+    assert len(np.unique(lab[lab >= 0])) == 1
