@@ -661,6 +661,18 @@ class Inferencer:
         n = len(batch["index"])
         m_slots = batch["masks"].shape[1]
         cache = self._gt_cache(dataset)
+        dev = self._device_gt(dataset, cache)
+        if dev is not None:
+            # Device-resident packed GT: ONE upload for the whole val set
+            # (global canvas bucket -> one compiled eval program), then a
+            # per-batch device-side row gather — no per-batch host
+            # assembly or relay upload at all.
+            gt_dev, (dch, dcw) = dev
+            gt_p = jnp.take(gt_dev, jnp.asarray(batch["index"]), axis=0)
+            return self._orig_eval_fn((dch, dcw), packed=True)(
+                full, sal, jnp.asarray(batch["valid_hw"]),
+                jnp.asarray(batch["orig_hw"]), gt_p,
+                jnp.asarray(batch["valid"]))
         if cache is not None:
             # Bit-packed canvas assembly from the NativeGTCache: 8x less
             # host memcpy and 8x less relay upload than the raw path, and
@@ -686,6 +698,39 @@ class Inferencer:
             full, sal, jnp.asarray(batch["valid_hw"]),
             jnp.asarray(batch["orig_hw"]), jnp.asarray(gt),
             jnp.asarray(batch["valid"]))
+
+    def _device_gt(self, dataset, cache):
+        """Device-resident bit-packed GT canvas for the WHOLE val set, or
+        None. Built once per dataset from the disk NativeGTCache (the
+        global canvas bucket comes from the cache's stored native dims);
+        capped at 2 GB of device memory, else the per-batch path runs.
+        The per-batch bucket path and this global-bucket path compute the
+        same metrics (zero padding beyond an image's extent contributes
+        nothing; pinned by test)."""
+        hit = getattr(self, "_gt_dev_obj", None)
+        if hit is not None and hit[0] is dataset:
+            return hit[1]
+        obj = None
+        npz = getattr(cache, "_npz", None) if cache is not None else None
+        if npz is not None:
+            size = self.cfg.model.image_size
+            max_canvas = 2048
+            hw = npz["hw"]
+            mh, mw = int(hw[:, 0].max()), int(hw[:, 1].max())
+            ch = min(max(size, -(-mh // 128) * 128), max_canvas)
+            cw = min(max(size, -(-mw // 128) * 128), max_canvas)
+            n = len(dataset)
+            m = npz["m0"].shape[0]
+            if n * m * ch * (cw // 8) <= 2 * 1024 ** 3:
+                gt = np.zeros((n, m, ch, cw // 8), np.uint8)
+                for i in range(n):
+                    packed, _, (oh, ow) = cache.get_packed(i)
+                    hh = min(oh, ch)
+                    wb = min(packed.shape[-1], cw // 8)
+                    gt[i, :, :hh, :wb] = packed[:, :hh, :wb]
+                obj = (jax.device_put(jnp.asarray(gt)), (ch, cw))
+        self._gt_dev_obj = (dataset, obj)
+        return obj
 
     def _gt_cache(self, dataset):
         """NativeGTCache for this dataset (built/loaded once per dataset

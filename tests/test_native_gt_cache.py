@@ -37,6 +37,10 @@ def test_cached_orig_eval_matches_regeneration_bitwise(tmp_path):
     a = {k: v for k, v in m_raw.items() if k not in timing}
     b = {k: v for k, v in m_cached.items() if k not in timing}
     assert a == b, (a, b)
+    # the disk cache must have engaged the DEVICE-resident GT path (one
+    # upload + per-batch gather), not silently fallen back to per-batch
+    # host assembly
+    assert inf2._gt_dev_obj[1] is not None
 
 
 def test_warm_cache_skips_regeneration(tmp_path):
